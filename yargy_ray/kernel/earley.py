@@ -1,0 +1,431 @@
+"""Earley chart parser + deterministic match resolution.
+
+Behavioral contract: /root/reference/yargy/parser.py, tree/ — an Earley
+chart over the token stream with per-column state dedup, token-lookahead
+pruning for gazetteer rules, deterministic parse-tree ranking (rank-
+lexicographic, tree/constructors.py:114-134) and maximum-coverage
+non-overlapping span selection for ``findall``. Determinism is what makes
+distributed extraction equal serial extraction, so the ordering rules are
+replicated exactly.
+
+Additions over the reference:
+
+* ``max_states`` — a per-document bound on chart states. The reference
+  leaves state explosion to the caller (docs/cookbook.ipynb cell 7,
+  ``CappedParser``); a distributed engine cannot let one pathological
+  conversation stall a partition, so the cap is built in: parsing raises
+  :class:`StateOverflow`, which the extraction stage records as a capped
+  row instead of failing the job.
+"""
+
+from __future__ import annotations
+
+from .grammar import GrammarNode, is_bnf_rule
+from .gazetteer import GazProd
+from .interp import Chain
+from .records import best_nonoverlapping, tokens_span
+from .relations import AgreementGraph
+from .tagging import PassTagger
+from .tokenizer import MorphTokenizer, Tokenizer
+
+
+class StateOverflow(Exception):
+    """Raised when a document exceeds the per-parse state budget."""
+
+
+class Context:
+    def __init__(self, tokenizer, tagger=None):
+        self.tokenizer = tokenizer
+        self.tagger = tagger
+
+
+# ---------------------------------------------------------------------------
+# Parse forest
+# ---------------------------------------------------------------------------
+
+class ParseNode:
+    __slots__ = ('rule', 'production', 'rank', 'children')
+
+    def __init__(self, rule, production, rank, children):
+        self.rule = rule
+        self.production = production
+        self.rank = rank
+        self.children = children
+
+    def attach(self, child):
+        return ParseNode(
+            self.rule, self.production, self.rank, self.children + [child])
+
+    @property
+    def main_token(self):
+        return self.children[self.production.main].main_token
+
+    @property
+    def interpretator(self):
+        return self.rule.interpretator
+
+    @property
+    def relation(self):
+        return self.rule.relation
+
+    def __lt__(self, other):
+        # rank-lexicographic: shared-leaf positions skipped, first differing
+        # child rank decides; equal ranks recurse
+        if id(self.rule) != id(other.rule):
+            raise TypeError('rank comparison across rules')
+        if id(self) == id(other):
+            return False
+        if self.rank != other.rank:
+            return self.rank < other.rank
+        for a, b in zip(self.children, other.children):
+            if isinstance(a, ParseLeaf):
+                continue
+            if id(a) == id(b):
+                continue
+            if a.rank < b.rank:
+                return True
+            if a.rank > b.rank:
+                return False
+            return a < b
+        return False
+
+
+class ParseLeaf:
+    __slots__ = ('predicate', 'token')
+
+    children = ()
+    interpretator = None
+    relation = None
+
+    def __init__(self, predicate, token):
+        self.predicate = predicate
+        self.token = token
+
+    @property
+    def main_token(self):
+        return self.token
+
+
+def walk_leaves(node):
+    stack = [node]
+    out = []
+    while stack:
+        item = stack.pop()
+        if isinstance(item, ParseLeaf):
+            out.append(item)
+        else:
+            stack.extend(reversed(item.children))
+    return out
+
+
+class ParseTree:
+    __slots__ = ('root', 'range')
+
+    def __init__(self, root, range_):
+        self.root = root
+        self.range = range_
+
+    def __lt__(self, other):
+        if self.range == other.range:
+            return self.root < other.root
+        start, stop = self.range
+        ostart, ostop = other.range
+        if start == ostart:
+            return stop > ostop          # longer span first
+        return start < ostart
+
+    # -- tree passes ---------------------------------------------------------
+
+    def prune_empty(self):
+        """Drop epsilon branches (nodes whose children all vanished)."""
+        def prune(item):
+            if isinstance(item, ParseLeaf):
+                return item
+            children = [c for c in map(prune, item.children) if c is not None]
+            if not children:
+                return None
+            return ParseNode(item.rule, item.production, item.rank, children)
+
+        root = prune(self.root)
+        return ParseTree(root, self.range) if root is not None else None
+
+    def collect_relations(self):
+        graph = AgreementGraph()
+        stack = [self.root]
+        while stack:
+            item = stack.pop()
+            if isinstance(item, ParseLeaf):
+                continue
+            if item.relation is not None:
+                graph.add(item.relation, item.main_token)
+            stack.extend(reversed(item.children))
+        return graph
+
+    def constrain(self, graph):
+        for leaf in walk_leaves(self.root):
+            leaf.token = graph.constrain(leaf.token)
+        return self
+
+    def interpret(self):
+        """Fold: keep interpretation-bearing nodes, apply bottom-up."""
+        if self.root.interpretator is None:
+            raise ValueError('root rule has no .interpretation(...)')
+
+        def significant(item):
+            # flatten away nodes without interpretators
+            for child in item.children:
+                if isinstance(child, ParseLeaf) or child.interpretator:
+                    yield child
+                else:
+                    yield from significant(child)
+
+        def fold(item):
+            if isinstance(item, ParseLeaf):
+                return item.token
+            values = [fold(c) for c in significant(item)]
+            key = (
+                item.production.value
+                if isinstance(item.production, GazProd)
+                else None
+            )
+            return item.interpretator(values, key)
+
+        return fold(self.root)
+
+
+# ---------------------------------------------------------------------------
+# Chart
+# ---------------------------------------------------------------------------
+
+class EarleyState:
+    __slots__ = ('rule', 'production', 'dot', 'origin', 'column', 'node')
+
+    def __init__(self, rule, production, dot, origin, column, node):
+        self.rule = rule
+        self.production = production
+        self.dot = dot
+        self.origin = origin     # start column
+        self.column = column     # stop column
+        self.node = node
+
+    def signature(self):
+        return (
+            id(self.rule), id(self.production), self.dot,
+            self.origin.index, self.column.index,
+            tuple(id(c) for c in self.node.children),
+        )
+
+    @property
+    def completed(self):
+        return self.dot >= len(self.production.terms)
+
+    @property
+    def next_term(self):
+        return self.production.terms[self.dot]
+
+
+class EarleyColumn:
+    __slots__ = ('index', 'token', 'states', 'seen', 'waiting')
+
+    def __init__(self, index, token):
+        self.index = index
+        self.token = token
+        self.states = []
+        self.seen = set()
+        # waiting[id(rule)] -> states whose dot is before that rule
+        self.waiting = {}
+
+    def push(self, state):
+        sig = state.signature()
+        if sig in self.seen:
+            return False
+        self.seen.add(sig)
+        self.states.append(state)
+        if not state.completed:
+            term = state.next_term
+            if is_bnf_rule(term):
+                self.waiting.setdefault(id(term), []).append(state)
+        return True
+
+
+class Match:
+    """One resolved extraction: tokens, char span, lazily interpreted fact."""
+
+    __slots__ = ('tree', 'tokens', 'span')
+
+    def __init__(self, tree):
+        self.tree = tree
+        self.tokens = [leaf.token for leaf in walk_leaves(tree.root)]
+        self.span = tokens_span(self.tokens)
+
+    @property
+    def rule(self):
+        return self.tree.root.rule
+
+    @property
+    def fact(self):
+        result = self.tree.interpret()
+        value = result.normalized
+        return value
+
+    def __repr__(self):
+        return f'Match({[t.value for t in self.tokens]!r}, {self.span!r})'
+
+
+def _prepare_match(tree):
+    tree = tree.prune_empty()
+    if tree is None:
+        return None
+    graph = tree.collect_relations()
+    if not graph.validate():
+        return None
+    tree.constrain(graph)
+    return Match(tree)
+
+
+class Parser:
+    """Compiled grammar + tokenizer context; reusable across documents.
+
+    Build once per Ray actor (``__init__`` of the extraction callable);
+    each ``findall`` call is independent and deterministic.
+    """
+
+    def __init__(self, rule, tokenizer=None, tagger=None, max_states=None):
+        if tokenizer is None:
+            tokenizer = MorphTokenizer()
+        if not isinstance(tokenizer, Tokenizer):
+            raise TypeError(type(tokenizer))
+        self.tokenizer = tokenizer
+        self.tagger = tagger if tagger is not None else PassTagger()
+        self.max_states = max_states
+
+        if not isinstance(rule, GrammarNode):
+            raise TypeError(type(rule))
+        context = Context(self.tokenizer, self.tagger)
+        rule = rule.activate(context)
+        self.rule = rule.as_bnf.start
+
+    # -- chart construction --------------------------------------------------
+
+    def _chart(self, text, everywhere=True):
+        tokens = list(self.tagger(self.tokenizer(text)))
+        columns = [EarleyColumn(0, None)]
+        for i, token in enumerate(tokens, 1):
+            columns.append(EarleyColumn(i, token))
+
+        budget = self.max_states
+        total = 0
+        n = len(columns)
+        for ci in range(n):
+            column = columns[ci]
+            lookahead = columns[ci + 1] if ci + 1 < n else None
+            if ci == 0 or everywhere:
+                total += self._predict(column, lookahead, self.rule)
+            si = 0
+            states = column.states
+            while si < len(states):
+                state = states[si]
+                si += 1
+                if state.completed:
+                    total += self._complete(column, state)
+                else:
+                    term = state.next_term
+                    if is_bnf_rule(term):
+                        total += self._predict(column, lookahead, term)
+                    elif lookahead is not None:
+                        total += self._scan(lookahead, term, state)
+                if budget is not None and total > budget:
+                    raise StateOverflow(total)
+        return columns
+
+    def _predict(self, column, lookahead, rule):
+        productions = (
+            rule.predict(lookahead.token)
+            if lookahead is not None
+            else rule.productions
+        )
+        added = 0
+        for rank, production in enumerate(productions):
+            node = ParseNode(rule, production, rank, [])
+            added += column.push(EarleyState(
+                rule, production, 0, column, column, node))
+        return added
+
+    def _scan(self, lookahead, predicate, state):
+        token = lookahead.token
+        if not predicate(token):
+            return 0
+        leaf = ParseLeaf(predicate, predicate.constrain(token))
+        return lookahead.push(EarleyState(
+            state.rule, state.production, state.dot + 1,
+            state.origin, lookahead, state.node.attach(leaf)))
+
+    def _complete(self, column, completed):
+        waiting = completed.origin.waiting.get(id(completed.rule))
+        if not waiting:
+            return 0
+        added = 0
+        wi = 0
+        while wi < len(waiting):
+            state = waiting[wi]
+            wi += 1
+            added += column.push(EarleyState(
+                state.rule, state.production, state.dot + 1,
+                state.origin, column, state.node.attach(completed.node)))
+        return added
+
+    def _final_states(self, columns, everywhere=True):
+        search = columns if everywhere else columns[-1:]
+        for column in search:
+            for state in column.states:
+                if state.completed and id(state.rule) == id(self.rule):
+                    yield state
+
+    # -- public API ----------------------------------------------------------
+
+    def findall(self, text):
+        """All non-overlapping matches, maximum-coverage, span order."""
+        columns = self._chart(text)
+        trees = sorted(
+            ParseTree(s.node, (s.origin.index, s.column.index))
+            for s in self._final_states(columns)
+        )
+        spans = []
+        by_span = {}
+        for tree in trees:
+            span = tree.range
+            if span in by_span:
+                continue
+            match = _prepare_match(tree)
+            if match is not None:
+                spans.append(span)
+                by_span[span] = match
+        for span in best_nonoverlapping(spans):
+            yield by_span[span]
+
+    def find(self, text):
+        for match in self.findall(text):
+            return match
+        return None
+
+    def match(self, text):
+        """Whole-string parse; best tree only."""
+        columns = self._chart(text, everywhere=False)
+        trees = sorted(
+            ParseTree(s.node, (s.origin.index, s.column.index))
+            for s in self._final_states(columns, everywhere=False)
+        )
+        for tree in trees:
+            m = _prepare_match(tree)
+            if m is not None:
+                return m
+        return None
+
+    def extract(self, text):
+        """Every (possibly overlapping) match — debug mode."""
+        columns = self._chart(text)
+        for state in self._final_states(columns):
+            tree = ParseTree(state.node, (state.origin.index, state.column.index))
+            m = _prepare_match(tree)
+            if m is not None:
+                yield m
