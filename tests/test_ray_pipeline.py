@@ -1,0 +1,93 @@
+"""Ray pipeline integration: extraction parity, invariant, resume.
+
+Key property: the distributed triple set is EXACTLY the serial kernel's
+triple set (P/R = 1.0) — deterministic ambiguity resolution makes block
+order irrelevant.
+"""
+
+import json
+import shutil
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope='module')
+def corpus(ray_session, tmp_path_factory):
+    from yargy_ray.sources.transcripts import write_transcripts
+    path = str(tmp_path_factory.mktemp('transcripts'))
+    shutil.rmtree(path, ignore_errors=True)
+    write_transcripts(path, 30, giant_every=10, giant_factor=10)
+    return path
+
+
+def _serial_triples(path):
+    """Reference result: plain in-process kernel run over the same rows."""
+    import pyarrow.parquet as pq
+    from yargy_ray.stages.extract import MentionExtractor, TripleProjector
+    table = pq.read_table(path)
+    mentions = MentionExtractor()(table)
+    triples = TripleProjector()(mentions)
+    return {
+        (s, p, o)
+        for s, p, o in zip(
+            triples.column('subj').to_pylist(),
+            triples.column('pred').to_pylist(),
+            triples.column('obj').to_pylist())
+    }
+
+
+def test_distributed_matches_serial(corpus, tmp_path):
+    import ray.data
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    out = str(tmp_path / 'kg')
+    run_kg_pipeline(corpus, out, concurrency=(1, 2), num_partitions=4)
+
+    got = {
+        (r['subj'], r['pred'], r['obj'])
+        for r in ray.data.read_parquet(out + '/triples').iter_rows()
+    }
+    want = _serial_triples(corpus)
+    assert want, 'corpus generated no triples - broken generator'
+    # exact match: precision == recall == 1.0
+    assert got == want
+
+    # dedup really deduped
+    triples = ray.data.read_parquet(out + '/triples')
+    assert triples.count() == len(got)
+
+
+def test_document_invariant(corpus):
+    import ray.data
+    from yargy_ray.pipelines.documents import (
+        reconstruct_documents,
+        verify_documents,
+    )
+    turns = ray.data.read_parquet(corpus)
+    docs = reconstruct_documents(turns, window=16)  # force multi-window
+    assert verify_documents(turns, docs) == 0
+    # giant conversation present and reconstructed
+    n_turns = {r['conv_id']: r['n_turns'] for r in docs.iter_rows()}
+    assert max(n_turns.values()) > 16
+
+
+def test_resume_skips_stages(corpus, tmp_path):
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    out = str(tmp_path / 'kg2')
+    first = run_kg_pipeline(corpus, out, concurrency=(1, 2), num_partitions=2)
+    second = run_kg_pipeline(corpus, out, concurrency=(1, 2), num_partitions=2)
+    for stage in first:
+        assert second[stage]['written_at'] == first[stage]['written_at']
+
+
+def test_mentions_schema(corpus, ray_session):
+    import pyarrow.parquet as pq
+    from yargy_ray.stages.extract import MENTION_SCHEMA, MentionExtractor
+
+    table = pq.read_table(corpus).slice(0, 50)
+    mentions = MentionExtractor()(table)
+    assert mentions.schema.equals(MENTION_SCHEMA)
+    for payload in mentions.column('fact_json').to_pylist():
+        json.loads(payload)

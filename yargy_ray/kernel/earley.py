@@ -309,6 +309,9 @@ class Parser:
 
     def _chart(self, text, everywhere=True):
         tokens = list(self.tagger(self.tokenizer(text)))
+        return self._chart_tokens(tokens, everywhere)
+
+    def _chart_tokens(self, tokens, everywhere=True):
         columns = [EarleyColumn(0, None)]
         for i, token in enumerate(tokens, 1):
             columns.append(EarleyColumn(i, token))
@@ -383,9 +386,25 @@ class Parser:
 
     # -- public API ----------------------------------------------------------
 
+    def tokenize(self, text):
+        """Tokenize + tag once; reusable across parsers sharing a tokenizer."""
+        return list(self.tagger(self.tokenizer(text)))
+
+    def findall_tokens(self, tokens):
+        """``findall`` over a pre-tokenized stream.
+
+        Lets an extraction actor running N grammars tokenize (and run
+        morphology) once per document instead of once per grammar.
+        """
+        columns = self._chart_tokens(tokens)
+        return self._resolve(columns)
+
     def findall(self, text):
         """All non-overlapping matches, maximum-coverage, span order."""
         columns = self._chart(text)
+        return self._resolve(columns)
+
+    def _resolve(self, columns):
         trees = sorted(
             ParseTree(s.node, (s.origin.index, s.column.index))
             for s in self._final_states(columns)

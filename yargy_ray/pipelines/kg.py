@@ -1,0 +1,281 @@
+"""The knowledge-graph construction pipeline (the engine's flagship).
+
+transcripts parquet
+  -> extraction (actor-pool map_batches; per-turn, no shuffle)
+  -> triple projection (fused map)
+  -> exact dedup            (shuffle 1: hash partition on triple key)
+  -> node canonicalization  (shuffle 2: groupby normalized form)
+  -> edge aggregation       (shuffle 3: groupby edge key)
+  -> partitioned parquet writes + lineage manifests (resumable)
+
+Scale notes (BASELINE.json north_rule):
+* Extraction is embarrassingly parallel over turns — the dominant cost
+  at 10^12 turns — and streams: no stage materializes the full input.
+* Both wide stages pre-aggregate inside ``map_batches`` (map-side
+  combine) before the shuffle, so shuffle volume is proportional to the
+  number of DISTINCT triples/nodes/edges per block, not to raw row
+  count.
+* Giant conversations don't matter to extraction (per-turn); document
+  reconstruction (documents.py) uses salted two-level concat for them.
+* All outputs carry a ``part`` column (hash of the natural key, mod P)
+  and are written with ``partition_cols=['part']`` so a resumed run can
+  skip finished partitions and downstream readers can prune.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from yargy_ray.grammars import DEFAULT_FACTORIES
+from yargy_ray.stages.extract import (
+    CAPPED_RULE,
+    extract_mentions,
+    project_triples,
+)
+from yargy_ray.state.manifests import fingerprint, run_stage, write_manifest
+
+
+def _hash64(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Deterministic 64-bit hash of a string column (vectorized-ish).
+
+    Uses sha1 prefixes (process-independent, unlike Python's hash()).
+    """
+    import numpy as np
+    out = np.empty(len(arr), dtype=np.int64)
+    i = 0
+    for chunk in arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]:
+        for v in chunk.to_pylist():
+            out[i] = int.from_bytes(
+                hashlib.sha1(v.encode()).digest()[:8], 'big') >> 1
+            i += 1
+    return pa.array(out, type=pa.int64())
+
+
+def node_id_of(norm: str) -> str:
+    """Content-hash node id: stable across runs and cluster sizes."""
+    return hashlib.sha1(norm.encode()).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Triple dedup
+# ---------------------------------------------------------------------------
+
+def _batch_prededup(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: drop duplicate triples within a batch and add
+    the 64-bit shuffle key. Runs before the exchange, shrinking it."""
+    key = pc.binary_join_element_wise(
+        batch.column('subj').cast(pa.string()),
+        batch.column('pred').cast(pa.string()),
+        batch.column('obj').cast(pa.string()),
+        '\x1f')
+    batch = batch.append_column('tkey', _hash64(key))
+    # keep first occurrence per key within the batch
+    import numpy as np
+    keys = batch.column('tkey').to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(keys, return_index=True)
+    return batch.take(pa.array(np.sort(first_idx)))
+
+
+def _group_first(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def dedup_triples(triples_ds):
+    """Exact global dedup: map-side combine, then hash-partition + first.
+
+    Deterministic winner: within a group rows are equal on (s,p,o) by
+    construction; provenance columns of the survivor come from the first
+    row Ray presents — provenance is advisory, the triple itself is the
+    unit of correctness.
+    """
+    combined = triples_ds.map_batches(
+        _batch_prededup, batch_format='pyarrow', batch_size=8192)
+    return combined.groupby('tkey').map_groups(
+        _group_first, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Node canonicalization
+# ---------------------------------------------------------------------------
+
+def _emit_node_counts(batch: pa.Table) -> pa.Table:
+    """Triples -> partial node rows (map-side pre-aggregation).
+
+    subj of every triple is an entity/turn node; obj likewise. ``kind``
+    comes from the predicate domain; ``norm`` is the canonical surface.
+    """
+    counts = {}
+    subjs = batch.column('subj').to_pylist()
+    preds = batch.column('pred').to_pylist()
+    objs = batch.column('obj').to_pylist()
+    for subj, pred, obj in zip(subjs, preds, objs):
+        skind = 'person' if pred == 'has_position' else 'turn'
+        okind = {
+            'mentions_date': 'date',
+            'mentions_amount': 'amount',
+            'mentions_person': 'person',
+            'mentions_title': 'title',
+            'cites_clause': 'clause',
+            'has_position': 'position',
+        }.get(pred, 'value')
+        for kind, norm in ((skind, subj), (okind, obj)):
+            k = (kind, norm)
+            counts[k] = counts.get(k, 0) + 1
+    kinds = [k for k, _ in counts]
+    norms = [n for _, n in counts]
+    return pa.table({
+        'node_id': pa.array([node_id_of(f'{k}:{n}') for (k, n) in counts],
+                            type=pa.string()),
+        'kind': pa.array(kinds, type=pa.string()),
+        'norm': pa.array(norms, type=pa.string()),
+        'degree': pa.array(list(counts.values()), type=pa.int64()),
+    })
+
+
+def canonicalize_nodes(triples_ds):
+    """Distinct nodes with degrees; one groupby over pre-aggregated rows."""
+    partial = triples_ds.map_batches(
+        _emit_node_counts, batch_format='pyarrow', batch_size=8192)
+    return (
+        partial.groupby(['node_id', 'kind', 'norm'])
+        .sum('degree')
+        .rename_columns({'sum(degree)': 'degree'})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge aggregation
+# ---------------------------------------------------------------------------
+
+def _emit_edge_counts(batch: pa.Table) -> pa.Table:
+    counts = {}
+    convs = {}
+    subjs = batch.column('subj').to_pylist()
+    preds = batch.column('pred').to_pylist()
+    objs = batch.column('obj').to_pylist()
+    conv_ids = batch.column('conv_id').to_pylist()
+    for subj, pred, obj, conv in zip(subjs, preds, objs, conv_ids):
+        skind = 'person' if pred == 'has_position' else 'turn'
+        okind = 'value'
+        key = (node_id_of(f'{skind}:{subj}'), node_id_of(f'{okind}:{obj}'),
+               pred)
+        counts[key] = counts.get(key, 0) + 1
+        convs.setdefault(key, conv)
+    return pa.table({
+        'src': pa.array([k[0] for k in counts], type=pa.string()),
+        'dst': pa.array([k[1] for k in counts], type=pa.string()),
+        'pred': pa.array([k[2] for k in counts], type=pa.string()),
+        'weight': pa.array(list(counts.values()), type=pa.int64()),
+        'conv_id': pa.array([convs[k] for k in counts], type=pa.string()),
+    })
+
+
+def aggregate_edges(triples_ds):
+    partial = triples_ds.map_batches(
+        _emit_edge_counts, batch_format='pyarrow', batch_size=8192)
+    return (
+        partial.groupby(['src', 'dst', 'pred']).sum('weight')
+        .rename_columns({'sum(weight)': 'weight'})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+def _add_partition(ds, key_column, num_partitions):
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(_hash64(batch.column(key_column)),
+                            num_partitions - 1),
+            pa.int32())
+        return batch.append_column('part', part)
+    return ds.map_batches(add_part, batch_format='pyarrow')
+
+
+def _write_partitioned(ds, out_dir, key_column, num_partitions=16):
+    """Hash-partitioned parquet write; returns manifest partition rows."""
+    ds = _add_partition(ds, key_column, num_partitions)
+    ds.write_parquet(out_dir, partition_cols=['part'])
+    # per-partition row counts for the manifest (small aggregate)
+    counts = ds.groupby('part').count().take_all()
+    return [
+        {'partition_id': int(row['part']), 'rows': int(row['count()'])}
+        for row in counts
+    ]
+
+
+def run_kg_pipeline(transcripts_path, out_root,
+                    factory_paths=DEFAULT_FACTORIES,
+                    concurrency=(1, 8), batch_size=128,
+                    num_partitions=16, resume=True):
+    """Full KG build: returns dict of stage -> manifest."""
+    import ray.data
+
+    fp = fingerprint('kg', transcripts_path, tuple(factory_paths),
+                     num_partitions)
+    manifests = {}
+
+    mentions_dir = os.path.join(out_root, 'mentions')
+    triples_dir = os.path.join(out_root, 'triples')
+
+    def build_mentions(out_dir):
+        turns = ray.data.read_parquet(
+            transcripts_path,
+            columns=['conv_id', 'turn_idx', 'text'],  # prune at the read
+        )
+        mentions = extract_mentions(
+            turns, factory_paths, concurrency=concurrency,
+            batch_size=batch_size)
+        return _write_partitioned(mentions, out_dir, 'conv_id',
+                                  num_partitions)
+
+    manifests['mentions'] = run_stage(
+        'mentions', mentions_dir, fp, build_mentions, resume=resume)
+
+    def build_triples(out_dir):
+        mentions = ray.data.read_parquet(mentions_dir)
+        capped = mentions.filter(
+            expr=f"rule == '{CAPPED_RULE}'").count()
+        triples = project_triples(mentions, factory_paths)
+        deduped = dedup_triples(triples)
+        parts = _write_partitioned(
+            deduped.drop_columns(['tkey']), out_dir, 'subj', num_partitions)
+        for p in parts:
+            p['capped_rows'] = 0
+        if parts:
+            parts[0]['capped_rows'] = int(capped)
+        return parts
+
+    manifests['triples'] = run_stage(
+        'triples', triples_dir, fp, build_triples, resume=resume)
+
+    def build_nodes(out_dir):
+        triples = ray.data.read_parquet(triples_dir)
+        nodes = canonicalize_nodes(triples)
+        return _write_partitioned(nodes, out_dir, 'node_id', num_partitions)
+
+    nodes_dir = os.path.join(out_root, 'nodes')
+    manifests['nodes'] = run_stage(
+        'nodes', nodes_dir, fp, build_nodes, resume=resume)
+
+    def build_edges(out_dir):
+        triples = ray.data.read_parquet(triples_dir)
+        edges = aggregate_edges(triples)
+        return _write_partitioned(edges, out_dir, 'src', num_partitions)
+
+    edges_dir = os.path.join(out_root, 'edges')
+    manifests['edges'] = run_stage(
+        'edges', edges_dir, fp, build_edges, resume=resume)
+
+    return manifests
+
+
+def top_degree_nodes(nodes_ds, k=20):
+    """Metrics: top-k nodes by degree (sort + limit on the small side)."""
+    return nodes_ds.sort('degree', descending=True).limit(k)

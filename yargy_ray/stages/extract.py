@@ -1,0 +1,192 @@
+"""Extraction stage: transcript turns -> mention rows -> triple rows.
+
+The hot path of the engine. Design (SURVEY §2.7, §3):
+
+* ``MentionExtractor`` is a callable CLASS for
+  ``map_batches(MentionExtractor, concurrency=(a, b), batch_size=B,
+  batch_format='pyarrow')`` — all expensive state (compiled grammars,
+  morphology analyzer + LRU, gazetteer indexes) is built once per actor
+  in ``__init__`` and amortized over every batch (actor pool, not tasks).
+* Grammars arrive as factory dotted-names (strings) — cheap to pickle,
+  compiled inside the actor; ``custom()`` functions stay importable.
+* Per turn the text is tokenized + morph-analyzed ONCE and the token
+  list shared by all grammars; each grammar is gated by a cheap regex
+  precondition so most grammar×turn pairs never start an Earley chart.
+* A per-document state budget bounds worst-case parse work; capped
+  turns are reported as ``rule='_capped'`` rows (counted by manifests,
+  excluded from triples) instead of failing the job.
+* Output is built with Arrow arrays directly — no pandas detour.
+
+Extraction is per-turn (the reference semantics is per-document over a
+single string; BASELINE's per-row invariant is per-turn text equality),
+so NO shuffle is needed before extraction — the only wide stages are
+downstream dedup/canonicalization.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from yargy_ray.grammars import DEFAULT_FACTORIES, build_specs
+from yargy_ray.kernel import Parser, StateOverflow
+from yargy_ray.kernel.interp import Fact
+from yargy_ray.kernel.tokenizer import MorphTokenizer
+
+MENTION_SCHEMA = pa.schema([
+    ('conv_id', pa.string()),
+    ('turn_idx', pa.int32()),
+    ('rule', pa.string()),
+    ('span_start', pa.int32()),
+    ('span_stop', pa.int32()),
+    ('tokens', pa.list_(pa.string())),
+    ('fact_json', pa.string()),
+])
+
+TRIPLE_SCHEMA = pa.schema([
+    ('subj', pa.string()),
+    ('pred', pa.string()),
+    ('obj', pa.string()),
+    ('conv_id', pa.string()),
+    ('turn_idx', pa.int32()),
+    ('rule', pa.string()),
+    ('span_start', pa.int32()),
+    ('span_stop', pa.int32()),
+])
+
+CAPPED_RULE = '_capped'
+
+
+def fact_payload(value):
+    """Interpretation result -> JSON-serializable payload."""
+    if isinstance(value, Fact):
+        return value.as_json
+    return value
+
+
+class MentionExtractor:
+    """pyarrow batch of transcript turns -> pyarrow batch of mentions."""
+
+    def __init__(self, factory_paths=DEFAULT_FACTORIES, max_states=None):
+        self.specs = build_specs(factory_paths)
+        # one shared tokenizer => one morph pass per turn for all grammars
+        self.tokenizer = MorphTokenizer()
+        self.parsers = []
+        for spec in self.specs:
+            parser = Parser(
+                spec.rule,
+                tokenizer=self.tokenizer,
+                max_states=max_states if max_states is not None
+                else spec.max_states,
+            )
+            gate = re.compile(spec.gate) if spec.gate else None
+            self.parsers.append((spec, parser, gate))
+
+    def extract_turn(self, conv_id, turn_idx, text, out):
+        tokens = None
+        for spec, parser, gate in self.parsers:
+            if gate is not None and gate.search(text) is None:
+                continue
+            if tokens is None:
+                tokens = list(self.tokenizer(text))
+            try:
+                matches = list(parser.findall_tokens(tokens))
+            except StateOverflow:
+                out.append((conv_id, turn_idx, CAPPED_RULE, 0, 0, [],
+                            json.dumps({'grammar': spec.name})))
+                continue
+            for match in matches:
+                try:
+                    payload = fact_payload(match.fact)
+                except TypeError:
+                    # mixed-type interpretation — quarantine, don't fail
+                    continue
+                out.append((
+                    conv_id, turn_idx, spec.name,
+                    match.span.start, match.span.stop,
+                    [t.value for t in match.tokens],
+                    json.dumps(payload, ensure_ascii=False, sort_keys=True),
+                ))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch.column('conv_id').to_pylist()
+        turn_idxs = batch.column('turn_idx').to_pylist()
+        texts = batch.column('text').to_pylist()
+        out = []
+        for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
+            self.extract_turn(conv_id, turn_idx, text, out)
+        if out:
+            columns = list(zip(*out))
+        else:
+            columns = [[] for _ in MENTION_SCHEMA]
+        arrays = [
+            pa.array(col, type=field.type)
+            for col, field in zip(columns, MENTION_SCHEMA)
+        ]
+        return pa.Table.from_arrays(arrays, schema=MENTION_SCHEMA)
+
+
+class TripleProjector:
+    """Stateless-ish mention -> triple projection (fuses with extraction).
+
+    Needs the grammar specs only for their ``to_triples`` functions;
+    construction is cheap but still done once per actor.
+    """
+
+    def __init__(self, factory_paths=DEFAULT_FACTORIES):
+        self.emitters = {s.name: s.to_triples for s in build_specs(factory_paths)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rules = batch.column('rule').to_pylist()
+        conv_ids = batch.column('conv_id').to_pylist()
+        turn_idxs = batch.column('turn_idx').to_pylist()
+        starts = batch.column('span_start').to_pylist()
+        stops = batch.column('span_stop').to_pylist()
+        facts = batch.column('fact_json').to_pylist()
+        out = []
+        for rule, conv_id, turn_idx, start, stop, payload in zip(
+                rules, conv_ids, turn_idxs, starts, stops, facts):
+            emit = self.emitters.get(rule)
+            if emit is None:  # _capped and unknown rules carry no facts
+                continue
+            value = json.loads(payload)
+            if not isinstance(value, dict):
+                continue
+            for subj, pred, obj in emit(value, conv_id, turn_idx):
+                out.append((str(subj), str(pred), str(obj),
+                            conv_id, turn_idx, rule, start, stop))
+        if out:
+            columns = list(zip(*out))
+        else:
+            columns = [[] for _ in TRIPLE_SCHEMA]
+        arrays = [
+            pa.array(col, type=field.type)
+            for col, field in zip(columns, TRIPLE_SCHEMA)
+        ]
+        return pa.Table.from_arrays(arrays, schema=TRIPLE_SCHEMA)
+
+
+def extract_mentions(turns_ds, factory_paths=DEFAULT_FACTORIES,
+                     concurrency=(1, 8), batch_size=128):
+    """turns Dataset -> mentions Dataset (actor-pool map_batches)."""
+    return turns_ds.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={'factory_paths': tuple(factory_paths)},
+        batch_format='pyarrow',
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def project_triples(mentions_ds, factory_paths=DEFAULT_FACTORIES,
+                    batch_size=4096):
+    """mentions Dataset -> triples Dataset (fuses with upstream map)."""
+    return mentions_ds.map_batches(
+        TripleProjector,
+        fn_constructor_kwargs={'factory_paths': tuple(factory_paths)},
+        batch_format='pyarrow',
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
