@@ -1,44 +1,551 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001-scale synthetic
+transcripts. ``queries()`` exposes one entry per implemented operator
+family (SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one (identical
+column names; float aggregates reduced to deterministic integer cents /
+micro units so value hashes match bit-for-bit).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init`` / ``ray.shutdown`` anywhere down this import tree.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir, table):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, f'{table}.parquet'))
+
+
+def _rename(batch: pa.Table, mapping) -> pa.Table:
+    # pyarrow 16 rename_columns accepts only a full name list
+    return batch.rename_columns(
+        [mapping.get(c, c) for c in batch.column_names])
+
+
+def _cents(x):
+    """floor(x*100 + 0.5) as int64 — deterministic money rounding,
+    mirrored exactly by the SQL oracles."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(
+        pc.cast(x, pa.float64()), 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Synthetic transcripts cache (deterministic per scale; no external data)
+# ---------------------------------------------------------------------------
+
+_SF_CONVS = {'sf0.001': 24, 'sf0.01': 80, 'sf0.1': 320}
+
+
+def _transcripts_for(sf_dir):
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = _SF_CONVS.get(name, 24)
+    path = f'/tmp/yargy_ray_cache/transcripts_{name}_{n_convs}'
+    if not os.path.exists(os.path.join(path, '_DONE')):
+        from yargy_ray.sources.transcripts import write_transcripts
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        write_transcripts(path, n_convs, giant_every=23, giant_factor=20)
+        open(os.path.join(path, '_DONE'), 'w').close()
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (TPC-H tables; SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, 'lineitem').select_columns(
+        ['l_returnflag', 'l_linestatus', 'l_quantity', 'l_extendedprice'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'l_returnflag': batch.column('l_returnflag'),
+            'l_linestatus': batch.column('l_linestatus'),
+            'qty_c': _cents(batch.column('l_quantity')),
+            'price_c': _cents(batch.column('l_extendedprice')),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format='pyarrow')
+        .groupby(['l_returnflag', 'l_linestatus'])
+        .aggregate(Sum('qty_c'), Sum('price_c'), Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return _rename(batch, {
+            'sum(qty_c)': 'sum_qty_cents',
+            'sum(price_c)': 'sum_price_cents',
+            'count()': 'n_rows',
+        })
+
+    return agg.map_batches(rename, batch_format='pyarrow')
+
+
+def q_filter_project(sf_dir):
+    ds = _read(sf_dir, 'lineitem').select_columns(
+        ['l_orderkey', 'l_linenumber', 'l_quantity', 'l_extendedprice',
+         'l_discount'])
+    ds = ds.filter(expr='l_quantity > 45')
+
+    def project(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            pc.cast(batch.column('l_extendedprice'), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column('l_discount'),
+                                     pa.float64())))
+        return pa.table({
+            'l_orderkey': batch.column('l_orderkey'),
+            'l_linenumber': batch.column('l_linenumber'),
+            'revenue_cents': _cents(revenue),
+        })
+
+    return ds.map_batches(project, batch_format='pyarrow')
+
+
+def q_topk_orders(sf_dir):
+    ds = _read(sf_dir, 'orders').select_columns(
+        ['o_orderkey', 'o_totalprice'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_orderkey': batch.column('o_orderkey'),
+            'total_cents': _cents(batch.column('o_totalprice')),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format='pyarrow')
+        .sort(['total_cents', 'o_orderkey'], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_distinct_segments(sf_dir):
+    values = _read(sf_dir, 'customer').unique('c_mktsegment')
+    return pa.table({'c_mktsegment': pa.array(sorted(values))})
+
+
+def q_revenue_by_nation(sf_dir):
+    from yargy_ray.stages.joins import broadcast_join
+    orders = _read(sf_dir, 'orders').select_columns(
+        ['o_custkey', 'o_totalprice'])
+    customer = _read(sf_dir, 'customer').select_columns(
+        ['c_custkey', 'c_nationkey'])
+    nation = _read(sf_dir, 'nation').select_columns(
+        ['n_nationkey', 'n_name'])
+
+    j1 = broadcast_join(orders, customer, 'o_custkey', 'c_custkey',
+                        ['c_nationkey'])
+    j2 = broadcast_join(j1, nation, 'c_nationkey', 'n_nationkey',
+                        ['n_name'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'n_name': batch.column('n_name'),
+            'total_cents': _cents(batch.column('o_totalprice')),
+        })
+
+    agg = (
+        j2.map_batches(prep, batch_format='pyarrow')
+        .groupby('n_name').sum('total_cents')
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return _rename(batch, {'sum(total_cents)': 'revenue_cents'})
+
+    return agg.map_batches(rename, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup (SQL-oracled where expressible)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_count(sf_dir):
+    from yargy_ray.stages.text import token_counts
+    return token_counts(_read(sf_dir, 'documents'))
+
+
+def q_doc_lang_id(sf_dir):
+    from yargy_ray.stages.text import lang_id
+    return lang_id(_read(sf_dir, 'documents'))
+
+
+def q_doc_quality(sf_dir):
+    from yargy_ray.stages.text import quality
+
+    def to_int_units(batch: pa.Table) -> pa.Table:
+        safe_t = pc.max_element_wise(batch.column('n_tokens'),
+                                     pa.scalar(1, pa.int64()))
+        safe_c = pc.max_element_wise(batch.column('n_chars'),
+                                     pa.scalar(1, pa.int64()))
+        avg_e6 = pc.cast(pc.floor(pc.divide(
+            pc.multiply(pc.cast(batch.column('n_chars'), pa.float64()), 1e6),
+            pc.cast(safe_t, pa.float64()))), pa.int64())
+        # punct_ratio column was computed with the same guards
+        punct_e6 = pc.cast(pc.floor(pc.multiply(
+            batch.column('punct_ratio'), 1e6)), pa.int64())
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_chars': batch.column('n_chars'),
+            'n_tokens': batch.column('n_tokens'),
+            'avg_token_len_e6': avg_e6,
+            'punct_ratio_e6': punct_e6,
+            'passes': batch.column('passes'),
+        })
+
+    return quality(_read(sf_dir, 'documents')).map_batches(
+        to_int_units, batch_format='pyarrow')
+
+
+def q_doc_fingerprint(sf_dir):
+    from yargy_ray.stages.text import fingerprints
+    return fingerprints(_read(sf_dir, 'documents'))
+
+
+def q_doc_dup_groups(sf_dir):
+    from yargy_ray.stages.dedup import exact_dedup_groups
+    return exact_dedup_groups(_read(sf_dir, 'documents'))
+
+
+def q_extract_ints(sf_dir):
+    from yargy_ray.stages.extract import IntTokenExtractor
+    return _read(sf_dir, 'events').select_columns(
+        ['event_id', 'props']).map_batches(
+        IntTokenExtractor,
+        fn_constructor_kwargs={'id_column': 'event_id',
+                               'text_column': 'props'},
+        batch_format='pyarrow', concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(sf_dir):
+    from yargy_ray.stages.windows import sessionize
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # pre-round value to cents so distributed sum == SQL sum exactly
+        cents = pc.cast(_cents(batch.column('value')), pa.float64())
+        return batch.set_column(
+            batch.schema.get_field_index('value'), 'value', cents)
+
+    ds = _read(sf_dir, 'events').map_batches(prep, batch_format='pyarrow')
+    out = sessionize(ds, gap_minutes=30)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'user_id': batch.column('user_id'),
+            'session_id': batch.column('session_id'),
+            'n_events': batch.column('n_events'),
+            'start_ts': batch.column('start_ts'),
+            'end_ts': batch.column('end_ts'),
+            'sum_value_cents': pc.cast(batch.column('sum_value'),
+                                       pa.int64()),
+        })
+
+    return out.map_batches(to_int, batch_format='pyarrow')
+
+
+def q_tumbling_window(sf_dir):
+    from yargy_ray.stages.windows import tumbling_window
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(_cents(batch.column('value')), pa.float64())
+        return batch.set_column(
+            batch.schema.get_field_index('value'), 'value', cents)
+
+    ds = _read(sf_dir, 'events').map_batches(prep, batch_format='pyarrow')
+    out = tumbling_window(ds)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'event_type': batch.column('event_type'),
+            'window_start': batch.column('window_start'),
+            'n_events': batch.column('n_events'),
+            'sum_value_cents': pc.cast(batch.column('sum_value'),
+                                       pa.int64()),
+        })
+
+    return out.map_batches(to_int, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir, n=3):
+    import pyarrow.parquet as pq
+    table = pq.read_table(os.path.join(sf_dir, 'embeddings.parquet'))
+    vecs = table.column('embedding').to_pylist()[:n]
+    return np.asarray(vecs, dtype=np.float64)
+
+
+def q_emb_topk(sf_dir):
+    from yargy_ray.stages.similarity import brute_force_topk
+    queries = _query_vectors(sf_dir, 1)
+    out = brute_force_topk(_read(sf_dir, 'embeddings'), queries, k=10)
+    return out.select(['query_id', 'rank', 'vec_id'])
+
+
+def q_emb_topk_ivf(sf_dir):
+    from yargy_ray.stages.similarity import ivf_topk
+    queries = _query_vectors(sf_dir, 3)
+    out = ivf_topk(_read(sf_dir, 'embeddings'), queries, k=10,
+                   num_lists=8, nprobe=4)
+    return out.select(['query_id', 'rank', 'vec_id'])
+
+
+def q_emb_near_dups(sf_dir):
+    from yargy_ray.stages.dedup import embedding_near_dups
+    return embedding_near_dups(_read(sf_dir, 'embeddings'), dim=64,
+                               threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup detection over documents (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir):
+    from yargy_ray.stages.dedup import minhash_near_dups
+    return minhash_near_dups(_read(sf_dir, 'documents'), threshold=0.6)
+
+
+def q_simhash_pairs(sf_dir):
+    from yargy_ray.stages.dedup import simhash_near_dups
+    return simhash_near_dups(_read(sf_dir, 'documents'), max_hamming=3)
+
+
+def q_ngram_pairs(sf_dir):
+    from yargy_ray.stages.dedup import ngram_jaccard_dups
+    return ngram_jaccard_dups(_read(sf_dir, 'documents'), n=3,
+                              threshold=0.5)
+
+
+def q_rolling_fingerprint(sf_dir):
+    from yargy_ray.stages.text import rolling_fingerprints
+    return rolling_fingerprints(_read(sf_dir, 'documents'))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline over synthetic transcripts (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_kg_triples(sf_dir):
+    import ray.data
+    from yargy_ray.pipelines.kg import dedup_triples
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=(1, 4)))
+    return dedup_triples(triples).drop_columns(['tkey'])
+
+
+def q_kg_nodes(sf_dir):
+    import ray.data
+    from yargy_ray.pipelines.kg import canonicalize_nodes
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=(1, 4)))
+    return canonicalize_nodes(triples)
+
+
+def q_doc_reconstruct(sf_dir):
+    import ray.data
+    from yargy_ray.pipelines.documents import reconstruct_documents
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(tpath)
+    return reconstruct_documents(turns, window=64).select_columns(
+        ['conv_id', 'n_turns', 'checksum'])
+
+
+def q_multimodal_features(sf_dir):
+    import ray.data
+    from yargy_ray.stages.multimodal import featurize_images, synth_media
+    media = ray.data.from_arrow(synth_media(200))
+    return featurize_images(media, concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Driver surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG triples from sf0.001-scale synthetic transcripts."""
+    return q_kg_triples('/root/testdata/sf0.001')
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        'lineitem_agg': q_lineitem_agg,
+        'filter_project': q_filter_project,
+        'topk_orders': q_topk_orders,
+        'distinct_segments': q_distinct_segments,
+        'revenue_by_nation': q_revenue_by_nation,
+        'doc_token_count': q_doc_token_count,
+        'doc_lang_id': q_doc_lang_id,
+        'doc_quality': q_doc_quality,
+        'doc_fingerprint': q_doc_fingerprint,
+        'doc_dup_groups': q_doc_dup_groups,
+        'extract_ints': q_extract_ints,
+        'sessionize': q_sessionize,
+        'tumbling_window': q_tumbling_window,
+        'emb_topk': q_emb_topk,
+        'emb_topk_ivf': q_emb_topk_ivf,
+        'emb_near_dups': q_emb_near_dups,
+        'minhash_pairs': q_minhash_pairs,
+        'simhash_pairs': q_simhash_pairs,
+        'ngram_pairs': q_ngram_pairs,
+        'rolling_fingerprint': q_rolling_fingerprint,
+        'kg_triples': q_kg_triples,
+        'kg_nodes': q_kg_nodes,
+        'doc_reconstruct': q_doc_reconstruct,
+        'multimodal_features': q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'lineitem_agg': """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                       AS sum_qty_cents,
+                   SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                       AS sum_price_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        'filter_project': """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        'topk_orders': """
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                       AS total_cents
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey ASC LIMIT 10
+        """,
+        'distinct_segments': """
+            SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        'revenue_by_nation': """
+            SELECT n_name,
+                   SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                       AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        'doc_token_count': r"""
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        'doc_lang_id': r"""
+            SELECT doc_id,
+                   CASE WHEN n_cyr > n_lat THEN 'ru'
+                        WHEN n_lat > 0 THEN 'en'
+                        ELSE 'und' END AS lang_pred,
+                   n_cyr, n_lat
+            FROM (
+                SELECT doc_id,
+                       LENGTH(REGEXP_REPLACE(LOWER(text), '[^а-яё]', '', 'g'))
+                           AS n_cyr,
+                       LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g'))
+                           AS n_lat
+                FROM documents)
+        """,
+        'doc_quality': r"""
+            SELECT doc_id, n_chars, n_tokens,
+                   CAST(FLOOR(1e6 * n_chars /
+                              GREATEST(n_tokens, 1)) AS BIGINT)
+                       AS avg_token_len_e6,
+                   CAST(FLOOR(1e6 * n_punct /
+                              GREATEST(n_chars, 1)) AS BIGINT)
+                       AS punct_ratio_e6,
+                   (n_tokens >= 5
+                    AND CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) < 0.2
+                    AND CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1)
+                        BETWEEN 2.0 AND 16.0) AS passes
+            FROM (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                       END AS n_tokens,
+                       LENGTH(REGEXP_REPLACE(text, '[^,\.;:!\?]', '', 'g'))
+                           AS n_punct
+                FROM documents)
+        """,
+        'doc_fingerprint': """
+            SELECT doc_id, MD5(text) AS fp FROM documents
+        """,
+        'doc_dup_groups': """
+            SELECT MD5(text) AS fp, MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY MD5(text)
+        """,
+        'extract_ints': r"""
+            SELECT event_id, UNNEST(REGEXP_EXTRACT_ALL(props, '\d+'))
+                       AS value
+            FROM events
+        """,
+        'sessionize': """
+            WITH marked AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                                 OR LAG(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   SUM(cents) AS sum_value_cents
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        'tumbling_window': """
+            SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                       AS sum_value_cents
+            FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+        """,
+        'emb_topk': """
+            SELECT 0 AS query_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(
+                           embedding,
+                           (SELECT embedding FROM embeddings
+                            WHERE vec_id = 0)) DESC,
+                       vec_id ASC) - 1 AS rank,
+                   vec_id
+            FROM embeddings
+            ORDER BY rank LIMIT 10
+        """,
+    }

@@ -1,0 +1,210 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+  {"metric": "triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the headline KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the SAME cached input and report both
+throughputs + scaling efficiency (evidence for the N -> 4N cluster
+criterion; this sandbox has no real multi-node cluster). Appends the
+measured numbers to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+
+# headline corpus size by scale factor (turns ~= 9 x convs + giants)
+_BENCH_CONVS = {'sf0.001': 400, 'sf0.01': 4000, 'sf0.1': 40000}
+
+
+def _sf_name():
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _corpus_path():
+    n = _BENCH_CONVS.get(_sf_name(), 2000)
+    return f'/tmp/yargy_ray_bench/transcripts_{_sf_name()}_{n}', n
+
+
+def ensure_corpus():
+    """Generate (once) the deterministic transcript corpus for this sf."""
+    path, n = _corpus_path()
+    if not os.path.exists(os.path.join(path, '_DONE')):
+        import shutil
+        from yargy_ray.sources.transcripts import write_transcripts
+        shutil.rmtree(path, ignore_errors=True)
+        write_transcripts(path, n, giant_every=997, giant_factor=100,
+                          override_num_blocks=max(NUM_CPUS * 4, 16))
+        open(os.path.join(path, '_DONE'), 'w').close()
+    return path
+
+
+def run_headline(corpus_path):
+    """KG triples build: extract -> project -> dedup -> write. Returns
+    (seconds, n_turns, n_triples)."""
+    import ray.data
+    from yargy_ray.pipelines.kg import dedup_triples
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+
+    out_dir = '/tmp/yargy_ray_bench/out_triples'
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    turns = ray.data.read_parquet(
+        corpus_path, columns=['conv_id', 'turn_idx', 'text'],
+        override_num_blocks=NUM_CPUS * 8)  # ~0.5-1s tasks pack the pool
+    n_turns = turns.count()
+
+    start = time.time()
+    # fixed pool sized cpus-1: autoscaling ramps too slowly for a batch
+    # job, and a pool equal to all cpus starves the read/shuffle tasks
+    mentions = extract_mentions(
+        turns, concurrency=max(1, NUM_CPUS - 1), batch_size=256)
+    triples = project_triples(mentions)
+    deduped = dedup_triples(triples).drop_columns(['tkey'])
+    deduped.write_parquet(out_dir)
+    elapsed = time.time() - start
+
+    n_triples = ray.data.read_parquet(out_dir).count()
+    return elapsed, n_turns, n_triples
+
+
+def run_secondary(sf_dir):
+    """Per-query wall times for the operator suite at this sf."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    picks = [
+        'lineitem_agg', 'revenue_by_nation', 'doc_quality',
+        'doc_dup_groups', 'minhash_pairs', 'simhash_pairs',
+        'emb_topk', 'sessionize', 'tumbling_window',
+    ]
+    queries = entrymod.queries()
+    times = {}
+    for name in picks:
+        start = time.time()
+        result = queries[name](sf_dir)
+        # force execution
+        import ray.data
+        if isinstance(result, ray.data.Dataset):
+            result.count()
+        times[name] = round(time.time() - start, 3)
+    return times
+
+
+def main(headline_only=False):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address='local', num_cpus=NUM_CPUS,
+                 include_dashboard=False, log_to_driver=False)
+
+    corpus = ensure_corpus()
+    elapsed, n_turns, n_triples = run_headline(corpus)
+    result = {
+        'metric': 'triples_per_sec',
+        'value': round(elapsed, 3),
+        'unit': 'sec',
+        'queries': {'kg_triples': round(elapsed, 3)},
+        'sf': _sf_name(),
+        'num_cpus': NUM_CPUS,
+        'n_turns': n_turns,
+        'n_triples': n_triples,
+        'turns_per_sec': round(n_turns / elapsed, 1),
+        'triples_per_sec': round(n_triples / elapsed, 1),
+    }
+    if not headline_only:
+        result['queries'].update(run_secondary(SF_DIR))
+    print(json.dumps(result))
+    ray.shutdown()
+    return result
+
+
+def scaling():
+    """Same job, fresh processes, 8 then 32 CPUs; report efficiency."""
+    # warm the corpus cache first so generation cost is excluded
+    import ray
+    ray.init(address='local', num_cpus=8, include_dashboard=False,
+             log_to_driver=False)
+    ensure_corpus()
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env['RAY_GRAFT_CPUS'] = str(cpus)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--headline-only'],
+            capture_output=True, text=True, env=env, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith('{')][-1]
+        results[cpus] = json.loads(line)
+
+    t8 = results[8]['turns_per_sec']
+    t32 = results[32]['turns_per_sec']
+    efficiency = (t32 / t8) / (32 / 8)
+    out = {
+        'metric': 'scaling_efficiency',
+        'value': round(efficiency, 3),
+        'unit': 'ratio',
+        'sf': _sf_name(),
+        'runs': {
+            '8cpu': {'sec': results[8]['value'],
+                     'turns_per_sec': t8,
+                     'triples_per_sec': results[8]['triples_per_sec']},
+            '32cpu': {'sec': results[32]['value'],
+                      'turns_per_sec': t32,
+                      'triples_per_sec': results[32]['triples_per_sec']},
+        },
+        'n_turns': results[32]['n_turns'],
+    }
+    print(json.dumps(out))
+    _append_baseline(out)
+    return out
+
+
+def _append_baseline(out):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BASELINE.md')
+    stamp = time.strftime('%Y-%m-%d %H:%M:%S')
+    lines = [
+        '',
+        f'## Measured ({stamp}, sf={out["sf"]})',
+        '',
+        '| config | wall sec | turns/sec | triples/sec |',
+        '|---|---|---|---|',
+        '| 8 cpus | {sec} | {tps} | {rps} |'.format(
+            sec=out['runs']['8cpu']['sec'],
+            tps=out['runs']['8cpu']['turns_per_sec'],
+            rps=out['runs']['8cpu']['triples_per_sec']),
+        '| 32 cpus | {sec} | {tps} | {rps} |'.format(
+            sec=out['runs']['32cpu']['sec'],
+            tps=out['runs']['32cpu']['turns_per_sec'],
+            rps=out['runs']['32cpu']['triples_per_sec']),
+        '',
+        f'Scaling efficiency 8 -> 32 cpus (N -> 4N): '
+        f'**{out["value"]}** (target >= 0.8). '
+        f'Input: {out["n_turns"]} turns, identical across runs, '
+        f'fresh ray.init per run.',
+    ]
+    with open(path, 'a') as f:
+        f.write('\n'.join(lines) + '\n')
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        scaling()
+    else:
+        main(headline_only='--headline-only' in sys.argv)

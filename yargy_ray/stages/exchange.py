@@ -1,0 +1,48 @@
+"""Partition-wise reduce: the engine's scalable exchange pattern.
+
+``groupby(key).map_groups(fn)`` degenerates when groups are tiny: one
+Python UDF call + one output block PER GROUP (an exact dedup of N
+distinct rows = N calls and N single-row blocks). The fix used across
+the engine: bucket keys into ``num_partitions`` coarse partitions
+(``hash(key) % P``), shuffle ONCE on the partition id, then run ONE
+vectorized reduce per partition — every key's full group is guaranteed
+to be inside exactly one partition.
+
+P scales with the cluster (set it ~2-4x total cores); per-partition
+reduces stay pandas/numpy-vectorized regardless of group count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def with_partition(ds, key_column, num_partitions, out='part'):
+    """Append ``part = key % P`` (key must be a non-negative integer)."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        # no modulo kernel in pyarrow 16 — x - P*floor(x/P) over int64
+        key = pc.cast(batch.column(key_column), pa.int64())
+        quot = pc.divide(key, pa.scalar(num_partitions, pa.int64()))
+        part = pc.cast(
+            pc.subtract(key, pc.multiply(
+                quot, pa.scalar(num_partitions, pa.int64()))),
+            pa.int32())
+        return batch.append_column(out, part)
+    return ds.map_batches(add_part, batch_format='pyarrow')
+
+
+def partitioned_reduce(ds, key_column, reduce_fn, num_partitions=64,
+                       drop_part=True):
+    """Hash-partition on ``key_column``, one vectorized reduce per
+    partition. ``reduce_fn(table) -> table`` sees complete key groups."""
+    parted = with_partition(ds, key_column, num_partitions)
+
+    def reduce_partition(group: pa.Table) -> pa.Table:
+        out = reduce_fn(group)
+        if drop_part and 'part' in out.column_names:
+            out = out.drop_columns(['part'])
+        return out
+
+    return parted.groupby('part').map_groups(
+        reduce_partition, batch_format='pyarrow')

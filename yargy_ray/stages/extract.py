@@ -168,6 +168,36 @@ class TripleProjector:
         return pa.Table.from_arrays(arrays, schema=TRIPLE_SCHEMA)
 
 
+class IntTokenExtractor:
+    """Earley extraction of every INT token from a text column.
+
+    The smallest possible grammar (``rule(type('INT'))``) — exists so
+    the Earley path itself is oracle-checkable against a SQL
+    ``regexp_extract_all(text, '\\d+')`` on the same rows.
+    """
+
+    def __init__(self, id_column='event_id', text_column='props'):
+        from yargy_ray.kernel import rule
+        from yargy_ray.kernel.predicates import type_
+        from yargy_ray.kernel.tokenizer import Tokenizer
+        self.id_column = id_column
+        self.text_column = text_column
+        self.parser = Parser(rule(type_('INT')), tokenizer=Tokenizer())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        texts = batch.column(self.text_column).to_pylist()
+        out_id, out_val = [], []
+        for row_id, text in zip(ids, texts):
+            for match in self.parser.findall(text):
+                out_id.append(row_id)
+                out_val.append(match.tokens[0].value)
+        return pa.table({
+            self.id_column: pa.array(out_id, type=pa.int64()),
+            'value': pa.array(out_val, type=pa.string()),
+        })
+
+
 def extract_mentions(turns_ds, factory_paths=DEFAULT_FACTORIES,
                      concurrency=(1, 8), batch_size=128):
     """turns Dataset -> mentions Dataset (actor-pool map_batches)."""
@@ -180,13 +210,30 @@ def extract_mentions(turns_ds, factory_paths=DEFAULT_FACTORIES,
     )
 
 
+_PROJECTOR_CACHE = {}
+
+
+def _project_batch_fn(factory_paths):
+    """Task-based projection: a plain function (no actor pool to starve
+    the extraction actors); the projector is built once per worker
+    process and cached — construction is just grammar-factory imports."""
+    paths = tuple(factory_paths)
+
+    def project(batch: pa.Table) -> pa.Table:
+        projector = _PROJECTOR_CACHE.get(paths)
+        if projector is None:
+            projector = TripleProjector(paths)
+            _PROJECTOR_CACHE[paths] = projector
+        return projector(batch)
+
+    return project
+
+
 def project_triples(mentions_ds, factory_paths=DEFAULT_FACTORIES,
                     batch_size=4096):
     """mentions Dataset -> triples Dataset (fuses with upstream map)."""
     return mentions_ds.map_batches(
-        TripleProjector,
-        fn_constructor_kwargs={'factory_paths': tuple(factory_paths)},
+        _project_batch_fn(factory_paths),
         batch_format='pyarrow',
         batch_size=batch_size,
-        concurrency=(1, 4),
     )

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: the query matrix is
+  ``ray.put`` once (broadcast, NOT re-shipped per batch); every batch
+  does one numpy matmul; per-batch top-k partials are merged with one
+  tiny reduce. This is the correctness baseline and the oracle-checked
+  path.
+* ``ivf_topk`` — IVF scale path: k-means centroids trained on a sample,
+  vectors assigned to lists (one shuffle), queries probe ``nprobe``
+  nearest lists only. Approximate; recall reported vs brute force.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(column) -> np.ndarray:
+    return np.asarray(column.to_pylist(), dtype=np.float32)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+class BatchTopK:
+    """map_batches callable: per-batch exact top-k against broadcast queries.
+
+    ``queries_ref`` is an ``ObjectRef`` — Ray resolves it once per task
+    from the local object store (zero-copy shared memory), so the query
+    matrix is never serialized per batch.
+    """
+
+    def __init__(self, queries_ref, k):
+        import ray
+        queries = ray.get(queries_ref) if not isinstance(
+            queries_ref, np.ndarray) else queries_ref
+        self.queries = _unit(np.asarray(queries, dtype=np.float32))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column('vec_id').to_pylist(), dtype=np.int64)
+        vecs = _unit(_as_matrix(batch.column('embedding')))
+        sims = self.queries @ vecs.T                       # (Q, B)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            for col in idx[qi]:
+                out_q.append(qi)
+                out_id.append(int(ids[col]))
+                out_sim.append(float(sims[qi, col]))
+        return pa.table({
+            'query_id': pa.array(out_q, type=pa.int64()),
+            'vec_id': pa.array(out_id, type=pa.int64()),
+            'cosine': pa.array(out_sim, type=pa.float64()),
+        })
+
+
+def merge_topk(partials: pa.Table, k) -> list[dict]:
+    """Reduce per-batch partials to the global top-k per query."""
+    heaps = {}
+    for q, v, s in zip(partials.column('query_id').to_pylist(),
+                       partials.column('vec_id').to_pylist(),
+                       partials.column('cosine').to_pylist()):
+        heap = heaps.setdefault(q, [])
+        # tie-break on vec_id for full determinism
+        item = (s, -v)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    rows = []
+    for q in sorted(heaps):
+        ranked = sorted(heaps[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negv) in enumerate(ranked):
+            rows.append({'query_id': q, 'rank': rank, 'vec_id': -negv,
+                         'cosine': s})
+    return rows
+
+
+def brute_force_topk(emb_ds, queries, k=10, concurrency=(1, 4)):
+    """Exact cosine top-k of every query against the whole dataset."""
+    import ray
+    queries = np.asarray(queries, dtype=np.float32)
+    queries_ref = ray.put(queries)
+    partials = emb_ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={'queries_ref': queries_ref, 'k': k},
+        batch_format='pyarrow',
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    table = pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([('query_id', pa.int64()), ('vec_id', pa.int64()),
+                          ('cosine', pa.float64())]))
+    return pa.Table.from_pylist(merge_topk(table, k))
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def train_centroids(emb_ds, num_lists=16, sample=4096, iters=10, seed=3):
+    """k-means on a driver-side sample (small side; the dataset streams)."""
+    rows = emb_ds.limit(sample).take_all()
+    x = _unit(np.asarray([r['embedding'] for r in rows], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(num_lists, len(x)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = (x @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+class IVFAssigner:
+    def __init__(self, centroids_ref):
+        import ray
+        self.centroids = (ray.get(centroids_ref)
+                          if not isinstance(centroids_ref, np.ndarray)
+                          else centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(_as_matrix(batch.column('embedding')))
+        lists = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column('ivf_list', pa.array(lists))
+
+
+def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4, concurrency=(1, 4)):
+    """Approximate top-k: probe only the nprobe nearest inverted lists."""
+    import ray
+    queries = _unit(np.asarray(queries, dtype=np.float32))
+    centroids = train_centroids(emb_ds, num_lists)
+    centroids_ref = ray.put(centroids)
+
+    assigned = emb_ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs={'centroids_ref': centroids_ref},
+        batch_format='pyarrow', concurrency=concurrency)
+
+    probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(l) for row in probe_lists for l in row})
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(
+            batch.column('ivf_list'),
+            value_set=pa.array(wanted, type=pa.int64())))
+
+    filtered = assigned.map_batches(keep_probed, batch_format='pyarrow')
+
+    queries_ref = ray.put(queries)
+    partials = filtered.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={'queries_ref': queries_ref, 'k': k},
+        batch_format='pyarrow', batch_size=4096, concurrency=concurrency)
+    table = pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema([('query_id', pa.int64()), ('vec_id', pa.int64()),
+                          ('cosine', pa.float64())]))
+    return pa.Table.from_pylist(merge_topk(table, k))

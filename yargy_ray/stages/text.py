@@ -1,0 +1,150 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+All per-row operators are vectorized pyarrow.compute kernels inside
+``map_batches(batch_format='pyarrow')`` — zero-copy from the object
+store, no Python loop in the hot path (except md5, which has no Arrow
+kernel; it loops over one batch's strings only).
+
+Every operator here has a DuckDB-SQL oracle in ``__ray_entry__`` — the
+Arrow expression and the SQL are kept semantically identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PUNCT_CLASS = r'[,\.;:!\?]'
+_WS = r'\s+'
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """n_tokens = number of whitespace-separated tokens (0 for blank)."""
+    text = batch.column('text')
+    trimmed = pc.utf8_trim_whitespace(text)
+    splits = pc.split_pattern_regex(trimmed, _WS)
+    counts = pc.list_value_length(splits).cast(pa.int64())
+    counts = pc.if_else(pc.equal(trimmed, ''), pa.scalar(0, pa.int64()),
+                        counts)
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'n_tokens': counts,
+    })
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Char-class language heuristic: cyrillic vs latin letter counts."""
+    text = pc.utf8_lower(batch.column('text'))
+    cyr = pc.count_substring_regex(text, '[а-яё]')
+    lat = pc.count_substring_regex(text, '[a-z]')
+    lang = pc.if_else(
+        pc.greater(cyr, lat), pa.scalar('ru'),
+        pc.if_else(pc.greater(lat, 0), pa.scalar('en'), pa.scalar('und')))
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'lang_pred': lang,
+        'n_cyr': cyr.cast(pa.int64()),
+        'n_lat': lat.cast(pa.int64()),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: length, token stats, punctuation ratio, verdict.
+
+    ``passes`` mirrors typical pretraining-corpus filters (C4-style):
+    enough tokens, sane average token length, not punctuation-soup.
+    """
+    text = batch.column('text')
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    trimmed = pc.utf8_trim_whitespace(text)
+    splits = pc.split_pattern_regex(trimmed, _WS)
+    n_tokens = pc.list_value_length(splits).cast(pa.int64())
+    n_tokens = pc.if_else(pc.equal(trimmed, ''), pa.scalar(0, pa.int64()),
+                          n_tokens)
+    n_punct = pc.count_substring_regex(text, PUNCT_CLASS).cast(pa.int64())
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    avg_token_len = pc.divide(
+        pc.cast(n_chars, pa.float64()), pc.cast(safe_tokens, pa.float64()))
+    punct_ratio = pc.divide(
+        pc.cast(n_punct, pa.float64()), pc.cast(safe_chars, pa.float64()))
+    passes = pc.and_(
+        pc.and_(pc.greater_equal(n_tokens, 5),
+                pc.less(punct_ratio, 0.2)),
+        pc.and_(pc.greater_equal(avg_token_len, 2.0),
+                pc.less_equal(avg_token_len, 16.0)))
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'n_chars': n_chars,
+        'n_tokens': n_tokens,
+        'avg_token_len': avg_token_len,
+        'punct_ratio': punct_ratio,
+        'passes': passes,
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """md5 content fingerprint (exact-dup key)."""
+    fps = [hashlib.md5(t.encode()).hexdigest()
+           for t in batch.column('text').to_pylist()]
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'fp': pa.array(fps, type=pa.string()),
+    })
+
+
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window=16) -> pa.Table:
+    """Winnowing-style document fingerprint: min rolling hash over
+    character windows — robust to small suffix edits (unlike md5)."""
+    out = []
+    for t in batch.column('text').to_pylist():
+        if len(t) < window:
+            h = 0
+            for ch in t:
+                h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+            out.append(h)
+            continue
+        h = 0
+        pow_w = pow(ROLLING_BASE, window - 1, ROLLING_MOD)
+        best = None
+        for i, ch in enumerate(t):
+            if i >= window:
+                h = (h - ord(t[i - window]) * pow_w) % ROLLING_MOD
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+            if i >= window - 1:
+                best = h if best is None or h < best else best
+        out.append(best)
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'rfp': pa.array(out, type=pa.int64()),
+    })
+
+
+# -- Dataset-level wrappers --------------------------------------------------
+
+def token_counts(docs_ds):
+    return docs_ds.map_batches(token_count_batch, batch_format='pyarrow')
+
+
+def lang_id(docs_ds):
+    return docs_ds.map_batches(lang_id_batch, batch_format='pyarrow')
+
+
+def quality(docs_ds):
+    return docs_ds.map_batches(quality_batch, batch_format='pyarrow')
+
+
+def fingerprints(docs_ds):
+    return docs_ds.map_batches(fingerprint_batch, batch_format='pyarrow')
+
+
+def rolling_fingerprints(docs_ds, window=16):
+    def fn(batch):
+        return rolling_fingerprint_batch(batch, window)
+    return docs_ds.map_batches(fn, batch_format='pyarrow')
