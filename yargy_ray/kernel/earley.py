@@ -20,6 +20,7 @@ Additions over the reference:
 
 from __future__ import annotations
 
+from .grammar import BNFRule as BNFRuleType
 from .grammar import GrammarNode, is_bnf_rule
 from .gazetteer import GazProd
 from .interp import Chain
@@ -225,7 +226,8 @@ class EarleyState:
 
 
 class EarleyColumn:
-    __slots__ = ('index', 'token', 'states', 'seen', 'waiting')
+    __slots__ = ('index', 'token', 'states', 'seen', 'waiting',
+                 'predicted', 'first_memo')
 
     def __init__(self, index, token):
         self.index = index
@@ -234,6 +236,12 @@ class EarleyColumn:
         self.seen = set()
         # waiting[id(rule)] -> states whose dot is before that rule
         self.waiting = {}
+        # rules already expanded at this column (predictions are a pure
+        # function of (rule, column), so re-predicting is wasted work)
+        self.predicted = set()
+        # id(first-matcher) -> bool for THIS column's token when it is
+        # the lookahead; shared across every rule predicted here
+        self.first_memo = {}
 
     def push(self, state):
         sig = state.signature()
@@ -304,6 +312,113 @@ class Parser:
         context = Context(self.tokenizer, self.tagger)
         rule = rule.activate(context)
         self.rule = rule.as_bnf.start
+        self._build_first()
+
+    def _build_first(self):
+        """Precompute nullability + FIRST sets for scan-pruned prediction.
+
+        ``self._first[id(prod)]`` is the list of terminal matchers
+        (predicates, plus gazetteer rules used atomically via their
+        token index) that can begin a derivation of that production;
+        ``self._prod_nullable`` holds ids of productions deriving the
+        empty string. ``_predict`` skips a production when the lookahead
+        token matches none of its FIRST matchers and it is not nullable
+        — such a state could never scan nor complete, so pruning it is
+        exact. Ranks keep their un-pruned indices, so deterministic
+        tree ordering (and therefore P/R vs the reference) is unchanged.
+        """
+        rules = []
+        seen = set()
+        stack = [self.rule]
+        while stack:
+            r = stack.pop()
+            if id(r) in seen:
+                continue
+            seen.add(id(r))
+            rules.append(r)
+            if type(r) is not BNFRuleType:
+                continue  # gazetteer rules are atomic first-matchers
+            for prod in r.productions:
+                for term in prod.terms:
+                    if is_bnf_rule(term):
+                        stack.append(term)
+
+        nullable = set()
+        changed = True
+        while changed:
+            changed = False
+            for r in rules:
+                if type(r) is not BNFRuleType or id(r) in nullable:
+                    continue
+                for prod in r.productions:
+                    if all(is_bnf_rule(t) and id(t) in nullable
+                           for t in prod.terms):
+                        nullable.add(id(r))
+                        changed = True
+                        break
+
+        rule_first = {id(r): {} for r in rules}
+        prod_first = {}
+        prod_nullable = set()
+        changed = True
+        while changed:
+            changed = False
+            for r in rules:
+                if type(r) is not BNFRuleType:
+                    continue
+                rf = rule_first[id(r)]
+                for prod in r.productions:
+                    pf = prod_first.setdefault(id(prod), {})
+                    before = len(pf)
+                    fully_nullable = True
+                    for term in prod.terms:
+                        if is_bnf_rule(term):
+                            if type(term) is BNFRuleType:
+                                pf.update(rule_first[id(term)])
+                            else:
+                                pf[id(term)] = term
+                            if id(term) in nullable:
+                                continue
+                            fully_nullable = False
+                        else:
+                            pf[id(term)] = term
+                            fully_nullable = False
+                        break
+                    else:
+                        if fully_nullable:
+                            prod_nullable.add(id(prod))
+                    if len(pf) != before:
+                        changed = True
+                    before = len(rf)
+                    rf.update(pf)
+                    if len(rf) != before:
+                        changed = True
+        self._first = {k: list(v.values()) for k, v in prod_first.items()}
+        self._prod_nullable = prod_nullable
+
+        # start-rule FIRST union for the zero-allocation pre-scan: a
+        # token stream where no token can begin the start rule needs no
+        # chart at all (the common case for a multi-grammar extractor)
+        if type(self.rule) is BNFRuleType:
+            union = {}
+            for prod in self.rule.productions:
+                for m in self._first[id(prod)]:
+                    union[id(m)] = m
+            self._start_first = list(union.values())
+            self._fast_path = not any(
+                id(p) in prod_nullable for p in self.rule.productions)
+        else:
+            self._start_first = [self.rule]
+            self._fast_path = True
+
+    def _any_start(self, tokens):
+        matchers = self._start_first
+        for token in tokens:
+            for m in matchers:
+                if (len(m.predict(token)) > 0 if is_bnf_rule(m)
+                        else m(token)):
+                    return True
+        return False
 
     # -- chart construction --------------------------------------------------
 
@@ -312,6 +427,8 @@ class Parser:
         return self._chart_tokens(tokens, everywhere)
 
     def _chart_tokens(self, tokens, everywhere=True):
+        if everywhere and self._fast_path and not self._any_start(tokens):
+            return []
         columns = [EarleyColumn(0, None)]
         for i, token in enumerate(tokens, 1):
             columns.append(EarleyColumn(i, token))
@@ -342,17 +459,50 @@ class Parser:
         return columns
 
     def _predict(self, column, lookahead, rule):
-        productions = (
-            rule.predict(lookahead.token)
-            if lookahead is not None
-            else rule.productions
-        )
+        rid = id(rule)
+        if rid in column.predicted:
+            return 0
+        column.predicted.add(rid)
+        if lookahead is None:
+            pairs = enumerate(rule.productions)
+        elif type(rule) is BNFRuleType:
+            # scan-pruning: drop productions whose FIRST set rejects the
+            # lookahead token (they could never scan nor complete);
+            # ranks keep their original indices for stable tree order
+            token = lookahead.token
+            memo = lookahead.first_memo
+            first = self._first
+            nullable = self._prod_nullable
+            pairs = []
+            for rank, production in enumerate(rule.productions):
+                pid = id(production)
+                if pid in nullable or self._first_matches(
+                        first[pid], token, memo):
+                    pairs.append((rank, production))
+        else:
+            # gazetteer rules prune via their own token index
+            pairs = enumerate(rule.predict(lookahead.token))
         added = 0
-        for rank, production in enumerate(productions):
+        for rank, production in pairs:
             node = ParseNode(rule, production, rank, [])
             added += column.push(EarleyState(
                 rule, production, 0, column, column, node))
         return added
+
+    @staticmethod
+    def _first_matches(matchers, token, memo):
+        for matcher in matchers:
+            mid = id(matcher)
+            hit = memo.get(mid)
+            if hit is None:
+                if is_bnf_rule(matcher):
+                    hit = len(matcher.predict(token)) > 0
+                else:
+                    hit = bool(matcher(token))
+                memo[mid] = hit
+            if hit:
+                return True
+        return False
 
     def _scan(self, lookahead, predicate, state):
         token = lookahead.token

@@ -33,9 +33,19 @@ def with_partition(ds, key_column, num_partitions, out='part'):
 
 
 def partitioned_reduce(ds, key_column, reduce_fn, num_partitions=64,
-                       drop_part=True):
+                       drop_part=True, coalesce=None):
     """Hash-partition on ``key_column``, one vectorized reduce per
-    partition. ``reduce_fn(table) -> table`` sees complete key groups."""
+    partition. ``reduce_fn(table) -> table`` sees complete key groups.
+
+    ``coalesce=N`` repartitions the input down to N blocks before the
+    exchange. The sort-based groupby's overhead scales with input BLOCK
+    COUNT, not bytes (measured: 48MB in 256 tiny blocks -> 18s exchange;
+    same data coalesced to 32 blocks -> 3s). Map stages that emit many
+    small blocks (e.g. one per extraction task) should coalesce to
+    ~total-cores blocks first; at real scale blocks approach the 128MB
+    target and the coalesce becomes a cheap no-op."""
+    if coalesce:
+        ds = ds.repartition(coalesce)
     parted = with_partition(ds, key_column, num_partitions)
 
     def reduce_partition(group: pa.Table) -> pa.Table:

@@ -67,7 +67,13 @@ def fact_payload(value):
 
 
 class MentionExtractor:
-    """pyarrow batch of transcript turns -> pyarrow batch of mentions."""
+    """pyarrow batch of transcript turns -> pyarrow batch of mentions.
+
+    NOTE: do NOT disable cyclic GC in these actors. It gains ~6%
+    single-process, but inside a Ray worker uncollected cycles pin
+    deserialized Arrow blocks (plasma-backed buffers), the object store
+    fills, and throughput collapses ~4x (measured at 32 cpus).
+    """
 
     def __init__(self, factory_paths=DEFAULT_FACTORIES, max_states=None):
         self.specs = build_specs(factory_paths)
