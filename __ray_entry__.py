@@ -363,6 +363,16 @@ def q_kg_nodes(sf_dir):
     return canonicalize_nodes(triples)
 
 
+def q_kg_linked(sf_dir):
+    """Gazetteer-backed entity linking over has_position triple objects
+    (broadcast index via ray.put, morph-lemma lookup in actors)."""
+    from yargy_ray.grammars.specs import POSITIONS
+    from yargy_ray.stages.link import link_entities
+    gaz = {'POS:' + p.replace(' ', '-'): [p] for p in POSITIONS}
+    triples = q_kg_triples(sf_dir).filter(expr="pred == 'has_position'")
+    return link_entities(triples, gaz, column='obj')
+
+
 def q_doc_reconstruct(sf_dir):
     import ray.data
     from yargy_ray.pipelines.documents import reconstruct_documents
@@ -412,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'rolling_fingerprint': q_rolling_fingerprint,
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
+        'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'multimodal_features': q_multimodal_features,
     }

@@ -206,3 +206,35 @@ def test_multimodal_plumbing(ray_session):
         LibraryCodec().decode_image(b'', 1, 1)
     frames = FrameSampler(every=10)(synth_media(5, kind='video'))
     assert frames.num_rows >= 5
+
+
+def test_entity_linking(ray_session):
+    import ray
+    import ray.data
+    from yargy_ray.stages.link import build_gazetteer, link_entities
+
+    gazetteer = {
+        'POS:director': ['директор'],
+        'POS:senior-engineer': ['старший инженер'],
+        'ORG:zavod': ['завод'],
+    }
+    rows = [
+        {'obj': 'директором'},          # inflected -> linked via lemma
+        {'obj': 'старшим инженером'},   # multi-token inflected phrase
+        {'obj': 'заводе'},
+        {'obj': 'неизвестное слово'},   # unlinked, keeps lemma key
+    ]
+    ds = ray.data.from_items(rows)
+    out = {r['obj']: r for r in
+           link_entities(ds, gazetteer, column='obj').iter_rows()}
+    assert out['директором']['entity_id'] == 'POS:director'
+    assert out['директором']['linked'] is True
+    assert out['старшим инженером']['entity_id'] == 'POS:senior-engineer'
+    assert out['заводе']['entity_id'] == 'ORG:zavod'
+    assert out['неизвестное слово']['linked'] is False
+
+    # broadcast path: pass a pre-put ObjectRef, same results
+    ref = ray.put(build_gazetteer(gazetteer))
+    out2 = {r['obj']: r['entity_id'] for r in
+            link_entities(ds, ref, column='obj').iter_rows()}
+    assert out2['директором'] == 'POS:director'
