@@ -84,12 +84,41 @@ def exact_dedup(docs_ds, num_partitions=64):
 # Shingles + MinHash
 # ---------------------------------------------------------------------------
 
-def shingle_set(text, k=5):
-    """Character k-shingles hashed to 64-bit ints (lowercased)."""
+_FNV = np.uint64(1099511628211)
+
+
+def _mix64(x):
+    """splitmix64 finalizer, vectorized over uint64 (wraparound math)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def char_gram_hashes(text, k):
+    """64-bit hashes of every lowercased character k-gram — VECTORIZED.
+
+    Horner polynomial rolling hash over codepoints (k numpy ops total,
+    no per-gram Python), splitmix64-mixed so the bits are usable both
+    as MinHash universe elements and as SimHash bit sources. ~50x the
+    per-gram blake2b loop this replaced.
+    """
     t = text.lower()
-    if len(t) < k:
-        return {hash_bytes(t.encode())} if t else set()
-    return {hash_bytes(t[i:i + k].encode()) for i in range(len(t) - k + 1)}
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(t.encode('utf-32-le'), dtype=np.uint32)
+    codes = codes.astype(np.uint64)
+    n = len(codes)
+    k = min(k, n)
+    m = n - k + 1
+    out = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        out = out * _FNV + codes[j:j + m]
+    return _mix64(out)
+
+
+def shingle_set(text, k=5):
+    """Distinct character k-shingle hashes (uint64 array, sorted)."""
+    return np.unique(char_gram_hashes(text, k))
 
 
 def hash_bytes(b: bytes) -> int:
@@ -107,9 +136,9 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, shingles):
-        if not shingles:
+        x = np.asarray(shingles, dtype=np.uint64)
+        if x.size == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
         # (a*x + b) mod p, min over shingles, per permutation
         sig = ((np.outer(self.a, x) + self.b[:, None]) % self.mod).min(axis=1)
         return sig
@@ -296,19 +325,15 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
 def simhash64(text, k=4):
-    """64-bit SimHash over character k-grams."""
-    acc = np.zeros(64, dtype=np.int64)
-    t = text.lower()
-    grams = [t[i:i + k] for i in range(max(1, len(t) - k + 1))]
-    for gram in grams:
-        h = np.uint64(hash_bytes(gram.encode()))
-        bits = (h >> _BIT_SHIFTS) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= (1 << bit)
-    return out
+    """64-bit SimHash over character k-grams — fully vectorized:
+    (n_grams, 64) bit matrix from the rolling-hash array, one sum."""
+    h = char_gram_hashes(text, k)
+    if h.size == 0:
+        return 0
+    bits = ((h[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(np.bitwise_or.reduce(
+        (acc > 0).astype(np.uint64) << _BIT_SHIFTS))
 
 
 def _to_i64(value):
