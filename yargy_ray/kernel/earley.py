@@ -199,7 +199,8 @@ class ParseTree:
 # ---------------------------------------------------------------------------
 
 class EarleyState:
-    __slots__ = ('rule', 'production', 'dot', 'origin', 'column', 'node')
+    __slots__ = ('rule', 'production', 'dot', 'origin', 'column', 'node',
+                 'completed', 'next_term')
 
     def __init__(self, rule, production, dot, origin, column, node):
         self.rule = rule
@@ -208,21 +209,22 @@ class EarleyState:
         self.origin = origin     # start column
         self.column = column     # stop column
         self.node = node
+        # plain attributes, not properties: the chart loop reads these
+        # millions of times per batch
+        terms = production.terms
+        if dot >= len(terms):
+            self.completed = True
+            self.next_term = None
+        else:
+            self.completed = False
+            self.next_term = terms[dot]
 
     def signature(self):
         return (
             id(self.rule), id(self.production), self.dot,
             self.origin.index, self.column.index,
-            tuple(id(c) for c in self.node.children),
+            tuple(map(id, self.node.children)),
         )
-
-    @property
-    def completed(self):
-        return self.dot >= len(self.production.terms)
-
-    @property
-    def next_term(self):
-        return self.production.terms[self.dot]
 
 
 class EarleyColumn:
@@ -249,10 +251,9 @@ class EarleyColumn:
             return False
         self.seen.add(sig)
         self.states.append(state)
-        if not state.completed:
-            term = state.next_term
-            if is_bnf_rule(term):
-                self.waiting.setdefault(id(term), []).append(state)
+        term = state.next_term
+        if term is not None and term.is_rule:
+            self.waiting.setdefault(id(term), []).append(state)
         return True
 
 
@@ -436,11 +437,14 @@ class Parser:
         budget = self.max_states
         total = 0
         n = len(columns)
+        start_rule = self.rule
         for ci in range(n):
             column = columns[ci]
+            predicted = column.predicted
             lookahead = columns[ci + 1] if ci + 1 < n else None
             if ci == 0 or everywhere:
-                total += self._predict(column, lookahead, self.rule)
+                predicted.add(id(start_rule))
+                total += self._predict(column, lookahead, start_rule)
             si = 0
             states = column.states
             while si < len(states):
@@ -450,8 +454,13 @@ class Parser:
                     total += self._complete(column, state)
                 else:
                     term = state.next_term
-                    if is_bnf_rule(term):
-                        total += self._predict(column, lookahead, term)
+                    if term.is_rule:
+                        # inline predicted-memo check: most states wait
+                        # on an already-expanded rule
+                        tid = id(term)
+                        if tid not in predicted:
+                            predicted.add(tid)
+                            total += self._predict(column, lookahead, term)
                     elif lookahead is not None:
                         total += self._scan(lookahead, term, state)
                 if budget is not None and total > budget:
@@ -459,10 +468,7 @@ class Parser:
         return columns
 
     def _predict(self, column, lookahead, rule):
-        rid = id(rule)
-        if rid in column.predicted:
-            return 0
-        column.predicted.add(rid)
+        # callers own the column.predicted memo (checked inline)
         if lookahead is None:
             pairs = enumerate(rule.productions)
         elif type(rule) is BNFRuleType:

@@ -77,6 +77,9 @@ class EpsilonProd(Prod):
 class GrammarNode:
     """Base of every DSL node; carries the user-facing combinators."""
 
+    is_rule = False  # hot-path discriminator; BNFRule overrides (see
+    #                  Predicate.is_rule in predicates.py)
+
     @property
     def children(self):
         return ()
@@ -523,6 +526,8 @@ def flatten(item, visit):
 
 class BNFRule(GrammarNode):
     """A named context-free rule with optional interpretation/relation."""
+
+    is_rule = True
 
     def __init__(self, productions, name=None, interpretator=None,
                  relation=None):

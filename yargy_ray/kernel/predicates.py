@@ -14,6 +14,11 @@ from .tokenizer import INT
 
 
 class Predicate:
+    # hot-path discriminator read by the Earley chart loop (grammar
+    # rules carry is_rule=True); an attribute load beats an isinstance
+    # call at millions of term inspections per batch
+    is_rule = False
+
     """token -> bool; activation is a no-op for context-free predicates."""
 
     children = ()
@@ -359,7 +364,10 @@ class AndPredicate(Predicate):
         self.items = list(items)
 
     def __call__(self, token):
-        return all(p(token) for p in self.items)
+        for p in self.items:          # plain loop: no genexp frame per call
+            if not p(token):
+                return False
+        return True
 
     def activate(self, context):
         return AndPredicate(p.activate(context) for p in self.items)
@@ -374,7 +382,10 @@ class OrPredicate(Predicate):
         self.items = list(items)
 
     def __call__(self, token):
-        return any(p(token) for p in self.items)
+        for p in self.items:
+            if p(token):
+                return True
+        return False
 
     def activate(self, context):
         return OrPredicate(p.activate(context) for p in self.items)

@@ -89,6 +89,24 @@ class MentionExtractor:
             )
             gate = re.compile(spec.gate) if spec.gate else None
             self.parsers.append((spec, parser, gate))
+        self._token_cache = {}
+
+    def _tokenize(self, text):
+        """Per-turn token list with a small LRU.
+
+        Transcript turns repeat heavily (acknowledgements, tool
+        banter), and token lists are treated read-only by the parser
+        (scan attaches CONSTRAINED COPIES to leaves, never mutating the
+        source tokens), so caching whole turns is safe and mirrors the
+        reference's per-word morph LRU one level up.
+        """
+        cached = self._token_cache.get(text)
+        if cached is None:
+            cached = list(self.tokenizer(text))
+            if len(self._token_cache) >= 4096:
+                self._token_cache.clear()
+            self._token_cache[text] = cached
+        return cached
 
     def extract_turn(self, conv_id, turn_idx, text, out):
         tokens = None
@@ -96,7 +114,7 @@ class MentionExtractor:
             if gate is not None and gate.search(text) is None:
                 continue
             if tokens is None:
-                tokens = list(self.tokenizer(text))
+                tokens = self._tokenize(text)
             try:
                 matches = list(parser.findall_tokens(tokens))
             except StateOverflow:
