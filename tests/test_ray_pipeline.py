@@ -91,3 +91,20 @@ def test_mentions_schema(corpus, ray_session):
     assert mentions.schema.equals(MENTION_SCHEMA)
     for payload in mentions.column('fact_json').to_pylist():
         json.loads(payload)
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    """0-row input: every stage reports 0 rows, no exception."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+    from yargy_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    src = tmp_path / 'empty'
+    src.mkdir()
+    pq.write_table(TRANSCRIPT_SCHEMA.empty_table(), src / 'part-0.parquet')
+    man = run_kg_pipeline(str(src), str(tmp_path / 'kg'),
+                          concurrency=(1, 2), num_partitions=2)
+    for stage, m in man.items():
+        assert m['rows_out'] == 0, (stage, m)
