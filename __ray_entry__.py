@@ -382,6 +382,20 @@ def q_doc_reconstruct(sf_dir):
         ['conv_id', 'n_turns', 'checksum'])
 
 
+def q_kg_mentions_docscope(sf_dir):
+    """Reference-native document-scope extraction: groupby(conv_id)
+    reconstruction (salted) then findall over whole documents."""
+    import ray.data
+    from yargy_ray.pipelines.documents import (
+        extract_document_mentions,
+        reconstruct_documents,
+    )
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(tpath)
+    docs = reconstruct_documents(turns, window=64)
+    return extract_document_mentions(docs, concurrency=(1, 4))
+
+
 def q_multimodal_features(sf_dir):
     import ray.data
     from yargy_ray.stages.multimodal import featurize_images, synth_media
@@ -424,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_nodes': q_kg_nodes,
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
+        'kg_mentions_docscope': q_kg_mentions_docscope,
         'multimodal_features': q_multimodal_features,
     }
 

@@ -108,3 +108,47 @@ def test_empty_corpus(ray_session, tmp_path):
                           concurrency=(1, 2), num_partitions=2)
     for stage, m in man.items():
         assert m['rows_out'] == 0, (stage, m)
+
+
+def test_docscope_extraction(corpus, ray_session):
+    """Doc-scope mentions == per-turn mentions with spans shifted by the
+    turn's offset inside the reconstructed document."""
+    import ray.data
+    from yargy_ray.pipelines.documents import (
+        TURN_SEP,
+        extract_document_mentions,
+        reconstruct_documents,
+    )
+    from yargy_ray.stages.extract import extract_mentions
+
+    turns = ray.data.read_parquet(corpus)
+    docs = reconstruct_documents(turns, window=32)
+    doc_mentions = {
+        (r['conv_id'], r['rule'], r['span_start'], r['span_stop'],
+         r['fact_json'])
+        for r in extract_document_mentions(
+            docs, concurrency=(1, 2)).iter_rows()
+    }
+
+    # per-turn extraction mapped into document coordinates
+    by_conv = {}
+    for row in turns.iter_rows():
+        by_conv.setdefault(row['conv_id'], []).append(
+            (row['turn_idx'], row['text']))
+    offsets = {}
+    for conv_id, rows in by_conv.items():
+        rows.sort()
+        off = 0
+        for turn_idx, text in rows:
+            offsets[(conv_id, turn_idx)] = off
+            off += len(text) + len(TURN_SEP)
+
+    turn_mentions = set()
+    for r in extract_mentions(
+            turns, concurrency=(1, 2)).iter_rows():
+        off = offsets[(r['conv_id'], r['turn_idx'])]
+        turn_mentions.add((
+            r['conv_id'], r['rule'], r['span_start'] + off,
+            r['span_stop'] + off, r['fact_json']))
+
+    assert doc_mentions == turn_mentions

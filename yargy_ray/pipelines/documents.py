@@ -123,3 +123,38 @@ def verify_documents(turns_ds, docs_ds):
         if want is None or want != (row['checksum'], row['n_turns']):
             bad += 1
     return bad + len(exp)
+
+
+def extract_document_mentions(docs_ds, factory_paths=None,
+                              concurrency=(1, 8), batch_size=16):
+    """Document-scope extraction: reference semantics on whole documents.
+
+    The reference's native unit is one document string (parser.findall
+    over the full text); this runs exactly that over RECONSTRUCTED
+    documents, with doc-relative spans and ``turn_idx = -1`` marking
+    document scope. Matches cannot silently cross turn boundaries: the
+    turn separator tokenizes as an EOL token, which no default grammar
+    accepts, so doc-scope output equals per-turn output with shifted
+    spans (pinned by tests/test_ray_pipeline.py::test_docscope_extraction).
+    ``batch_size`` is small because rows are whole conversations, not
+    turns.
+    """
+    import numpy as np
+
+    from yargy_ray.grammars import DEFAULT_FACTORIES
+    from yargy_ray.stages.extract import extract_mentions
+
+    if factory_paths is None:
+        factory_paths = DEFAULT_FACTORIES
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'conv_id': batch.column('conv_id'),
+            'turn_idx': pa.array(
+                np.full(batch.num_rows, -1, dtype=np.int32)),
+            'text': batch.column('text'),
+        })
+
+    turns_like = docs_ds.map_batches(adapt, batch_format='pyarrow')
+    return extract_mentions(turns_like, factory_paths,
+                            concurrency=concurrency, batch_size=batch_size)
