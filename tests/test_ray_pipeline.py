@@ -152,3 +152,36 @@ def test_docscope_extraction(corpus, ray_session):
             r['span_stop'] + off, r['fact_json']))
 
     assert doc_mentions == turn_mentions
+
+
+def test_crashed_stage_rerun_discards_partial_output(corpus, tmp_path,
+                                                     ray_session):
+    """Partial part-files from a crashed attempt (no manifest) must not
+    leak into the rerun's output."""
+    import os
+    import ray.data
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    out_root = str(tmp_path / 'kg')
+    man1 = run_kg_pipeline(corpus, out_root, concurrency=(1, 2),
+                           num_partitions=4)
+    triples_dir = os.path.join(out_root, 'triples')
+    n_clean = ray.data.read_parquet(triples_dir).count()
+
+    # simulate a crashed attempt: stale part-file present, manifest gone
+    os.remove(os.path.join(triples_dir, '_MANIFEST.json'))
+    stale_dir = os.path.join(triples_dir, 'part=0')
+    os.makedirs(stale_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({'junk': [1, 2, 3]}),
+                   os.path.join(stale_dir, 'stale-leftover.parquet'))
+
+    man2 = run_kg_pipeline(corpus, out_root, concurrency=(1, 2),
+                           num_partitions=4)
+    assert man2['triples']['rows_out'] == man1['triples']['rows_out']
+    n_after = ray.data.read_parquet(triples_dir).count()
+    assert n_after == n_clean
+    # the stale file is gone
+    for root, _, files in os.walk(triples_dir):
+        assert 'stale-leftover.parquet' not in files

@@ -81,5 +81,13 @@ def run_stage(stage, out_dir, input_fingerprint, producer, resume=True):
     """
     if resume and stage_is_complete(out_dir, input_fingerprint):
         return load_manifest(out_dir)
+    # a crashed attempt leaves partial part-files with unique names; a
+    # rerun's write_parquet would APPEND next to them and downstream
+    # reads would double-count — clear the stage dir first (the
+    # manifest is only written after a fully successful produce, so
+    # anything present here without a matching manifest is garbage)
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     partitions = producer(out_dir)
     return write_manifest(out_dir, stage, input_fingerprint, partitions)
