@@ -1,0 +1,122 @@
+"""Differential fuzzing vs the actual reference parser.
+
+Hypothesis generates random grammar ASTs (sequences, alternations,
+optional, bounded repeats over eq/caseless/type predicates) and random
+token texts; the same AST is built through OUR DSL and the REFERENCE's
+DSL and ``findall`` span sets must be identical. This pins the entire
+compile-parse-resolve path (5-pass normalization, BNF lifting, Earley,
+tree ranking, span DP) against the reference on inputs nobody
+hand-picked. Derandomized so CI is stable.
+
+Skipped when the reference checkout is absent.
+"""
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+REFERENCE = '/root/reference'
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, 'yargy')),
+    reason='reference repo not available')
+
+
+# -- grammar spec AST (backend-neutral) ------------------------------------
+
+WORDS = ['a', 'b', 'c', 'A', '1', '2', '.']
+
+pred_spec = st.one_of(
+    st.tuples(st.just('eq'), st.sampled_from(WORDS)),
+    st.tuples(st.just('caseless'), st.sampled_from(['a', 'b', 'c'])),
+    st.tuples(st.just('type'), st.sampled_from(['INT', 'RU', 'LATIN'])),
+)
+
+
+def rule_spec(depth):
+    if depth == 0:
+        return st.tuples(st.just('pred'), pred_spec)
+    sub = rule_spec(depth - 1)
+    return st.one_of(
+        st.tuples(st.just('pred'), pred_spec),
+        st.tuples(st.just('seq'), st.lists(sub, min_size=1, max_size=3)),
+        st.tuples(st.just('or'), st.lists(sub, min_size=2, max_size=3)),
+        st.tuples(st.just('opt'), sub),
+        st.tuples(st.just('rep'), sub, st.integers(1, 3)),
+    )
+
+
+# top level: a non-nullable anchor predicate then an arbitrary tail, so
+# the grammar can never derive the empty string
+grammar_spec = st.tuples(pred_spec, st.lists(rule_spec(2), max_size=2))
+
+texts = st.lists(st.sampled_from(WORDS + ['xx', '77']),
+                 min_size=0, max_size=8).map(' '.join)
+
+
+def build(spec, ns):
+    kind = spec[0]
+    if kind == 'pred':
+        return build_pred(spec[1], ns)
+    if kind == 'seq':
+        return ns['rule'](*[build(s, ns) for s in spec[1]])
+    if kind == 'or':
+        return ns['or_'](*[ns['rule'](build(s, ns)) for s in spec[1]])
+    if kind == 'opt':
+        return ns['rule'](build(spec[1], ns)).optional()
+    if kind == 'rep':
+        return ns['rule'](build(spec[1], ns)).repeatable(max=spec[2])
+    raise ValueError(spec)
+
+
+def build_pred(pspec, ns):
+    name, arg = pspec
+    return ns[name](arg)
+
+
+def build_grammar(gspec, ns):
+    anchor, tail = gspec
+    items = [build_pred(anchor, ns)] + [build(s, ns) for s in tail]
+    return ns['rule'](*items)
+
+
+def _our_ns():
+    from yargy_ray.kernel import or_, rule
+    from yargy_ray.kernel.predicates import caseless, eq, type_
+    return {'rule': rule, 'or_': or_, 'eq': eq, 'caseless': caseless,
+            'type': type_}
+
+
+def _ref_ns():
+    sys.path.insert(0, REFERENCE)
+    from yargy.api import or_, rule
+    from yargy.predicates import caseless, eq, type
+    return {'rule': rule, 'or_': or_, 'eq': eq, 'caseless': caseless,
+            'type': type}
+
+
+def _our_parser(gspec):
+    from yargy_ray.kernel import Parser
+    from yargy_ray.kernel.tokenizer import Tokenizer
+    return Parser(build_grammar(gspec, _our_ns()), tokenizer=Tokenizer())
+
+
+def _ref_parser(gspec):
+    ns = _ref_ns()
+    from yargy import Parser
+    from yargy.tokenizer import Tokenizer
+    return Parser(build_grammar(gspec, ns), tokenizer=Tokenizer())
+
+
+@settings(max_examples=150, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(gspec=grammar_spec, text=texts)
+def test_findall_spans_match_reference(gspec, text):
+    ours = {(m.span.start, m.span.stop, tuple(t.value for t in m.tokens))
+            for m in _our_parser(gspec).findall(text)}
+    ref = {(m.span.start, m.span.stop, tuple(t.value for t in m.tokens))
+           for m in _ref_parser(gspec).findall(text)}
+    assert ours == ref
