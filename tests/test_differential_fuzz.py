@@ -29,11 +29,19 @@ pytestmark = pytest.mark.skipif(
 
 WORDS = ['a', 'b', 'c', 'A', '1', '2', '.']
 
-pred_spec = st.one_of(
+_base_pred = st.one_of(
     st.tuples(st.just('eq'), st.sampled_from(WORDS)),
     st.tuples(st.just('caseless'), st.sampled_from(['a', 'b', 'c'])),
     st.tuples(st.just('type'), st.sampled_from(['INT', 'RU', 'LATIN'])),
 )
+
+pred_spec = st.one_of(
+    _base_pred,
+    st.tuples(st.just('and'), st.lists(_base_pred, min_size=2, max_size=2)),
+    st.tuples(st.just('not'), _base_pred),
+)
+
+PHRASES = [['a', 'b'], ['1'], ['xx', '77'], ['c']]
 
 
 def rule_spec(depth):
@@ -46,6 +54,9 @@ def rule_spec(depth):
         st.tuples(st.just('or'), st.lists(sub, min_size=2, max_size=3)),
         st.tuples(st.just('opt'), sub),
         st.tuples(st.just('rep'), sub, st.integers(1, 3)),
+        st.tuples(st.just('gaz'),
+                  st.lists(st.sampled_from(range(len(PHRASES))),
+                           min_size=1, max_size=3, unique=True)),
     )
 
 
@@ -69,11 +80,17 @@ def build(spec, ns):
         return ns['rule'](build(spec[1], ns)).optional()
     if kind == 'rep':
         return ns['rule'](build(spec[1], ns)).repeatable(max=spec[2])
+    if kind == 'gaz':
+        return ns['pipeline']([' '.join(PHRASES[i]) for i in spec[1]])
     raise ValueError(spec)
 
 
 def build_pred(pspec, ns):
     name, arg = pspec
+    if name == 'and':
+        return ns['and_'](*[build_pred(p, ns) for p in arg])
+    if name == 'not':
+        return ns['not_'](build_pred(arg, ns))
     return ns[name](arg)
 
 
@@ -84,18 +101,22 @@ def build_grammar(gspec, ns):
 
 
 def _our_ns():
-    from yargy_ray.kernel import or_, rule
+    from yargy_ray.kernel import and_, not_, or_, rule
+    from yargy_ray.kernel.gazetteer import pipeline
     from yargy_ray.kernel.predicates import caseless, eq, type_
-    return {'rule': rule, 'or_': or_, 'eq': eq, 'caseless': caseless,
-            'type': type_}
+    return {'rule': rule, 'or_': or_, 'and_': and_, 'not_': not_,
+            'eq': eq, 'caseless': caseless, 'type': type_,
+            'pipeline': pipeline}
 
 
 def _ref_ns():
     sys.path.insert(0, REFERENCE)
-    from yargy.api import or_, rule
+    from yargy.api import and_, not_, or_, rule
+    from yargy.pipelines import pipeline
     from yargy.predicates import caseless, eq, type
-    return {'rule': rule, 'or_': or_, 'eq': eq, 'caseless': caseless,
-            'type': type}
+    return {'rule': rule, 'or_': or_, 'and_': and_, 'not_': not_,
+            'eq': eq, 'caseless': caseless, 'type': type,
+            'pipeline': pipeline}
 
 
 def _our_parser(gspec):
