@@ -185,3 +185,30 @@ def test_crashed_stage_rerun_discards_partial_output(corpus, tmp_path,
     # the stale file is gone
     for root, _, files in os.walk(triples_dir):
         assert 'stale-leftover.parquet' not in files
+
+
+def test_jsonl_source(ray_session, tmp_path):
+    """JSONL logs normalize into the canonical transcripts schema and
+    feed extraction unchanged."""
+    import json
+    from yargy_ray.sources.jsonl import read_transcripts_jsonl
+    from yargy_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+    from yargy_ray.stages.extract import extract_mentions
+
+    path = tmp_path / 'log.jsonl'
+    rows = [
+        {'conv_id': 'c1', 'turn_idx': 0, 'role': 'user',
+         'text': 'согласно ст. 14 п. 3 договора'},          # no tool/ts
+        {'conv_id': 'c1', 'turn_idx': 1, 'role': 'assistant',
+         'text': 'хорошо', 'tool': 'search',
+         'ts': '2024-01-01T00:00:00'},
+    ]
+    path.write_text('\n'.join(json.dumps(r, ensure_ascii=False)
+                              for r in rows))
+    ds = read_transcripts_jsonl(str(path))
+    assert ds.schema().names == TRANSCRIPT_SCHEMA.names
+    got = {r['turn_idx']: r for r in ds.iter_rows()}
+    assert got[0]['tool'] == ''
+    assert got[1]['tool'] == 'search'
+    mentions = extract_mentions(ds, concurrency=(1, 1)).take_all()
+    assert any(m['rule'] == 'clause' for m in mentions)
