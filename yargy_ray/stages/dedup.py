@@ -188,20 +188,17 @@ def _bucket_pairs(group: pa.Table, threshold, sig_jaccard=True):
         })
     sigs = group.column('sig').to_pylist()
     order = np.argsort(ids)[:MAX_BUCKET]
-    pairs_a, pairs_b, sims = [], [], []
-    for i in range(len(order)):
-        si = np.asarray(sigs[order[i]])
-        for j in range(i + 1, len(order)):
-            sj = np.asarray(sigs[order[j]])
-            sim = float((si == sj).mean())
-            if sim >= threshold:
-                pairs_a.append(ids[order[i]])
-                pairs_b.append(ids[order[j]])
-                sims.append(sim)
+    mat = np.asarray([sigs[i] for i in order])          # (k, num_perm)
+    # pairwise estimated Jaccard = fraction of equal signature slots,
+    # one broadcasted compare instead of a Python O(k^2) loop
+    sims = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+    ii, jj = np.triu_indices(len(order), k=1)
+    keep = sims[ii, jj] >= threshold
+    ids_sorted = np.asarray([ids[i] for i in order])
     return pa.table({
-        'a': pa.array(pairs_a, type=pa.int64()),
-        'b': pa.array(pairs_b, type=pa.int64()),
-        'sim': pa.array(sims, type=pa.float64()),
+        'a': pa.array(ids_sorted[ii[keep]], type=pa.int64()),
+        'b': pa.array(ids_sorted[jj[keep]], type=pa.int64()),
+        'sim': pa.array(sims[ii, jj][keep], type=pa.float64()),
     })
 
 
