@@ -369,20 +369,23 @@ def simhash_near_dups(docs_ds, max_hamming=3):
         ids = group.column('doc_id').to_pylist()
         raws = group.column('simhash').to_pylist()
         order = np.argsort(ids)[:MAX_BUCKET]
-        a, b, dist = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                if ids[order[i]] == ids[order[j]]:
-                    continue
-                d = bin((raws[order[i]] ^ raws[order[j]]) & _MASK64).count('1')
-                if d <= max_hamming:
-                    a.append(ids[order[i]])
-                    b.append(ids[order[j]])
-                    dist.append(d)
+        ids_sorted = np.asarray([ids[i] for i in order], dtype=np.int64)
+        sigs = np.asarray([raws[i] for i in order],
+                          dtype=np.int64).view(np.uint64)
+        # pairwise Hamming via broadcast XOR + byte-level popcount —
+        # bounds hot-bucket verification like the MinHash path
+        xor = sigs[:, None] ^ sigs[None, :]
+        dist = np.unpackbits(
+            xor.view(np.uint8).reshape(len(order), len(order), 8),
+            axis=2).sum(axis=2)
+        ii, jj = np.triu_indices(len(order), k=1)
+        keep = ((dist[ii, jj] <= max_hamming)
+                & (ids_sorted[ii] != ids_sorted[jj]))
         return pa.table({
-            'a': pa.array(a, type=pa.int64()),
-            'b': pa.array(b, type=pa.int64()),
-            'hamming': pa.array(dist, type=pa.int64()),
+            'a': pa.array(ids_sorted[ii[keep]], type=pa.int64()),
+            'b': pa.array(ids_sorted[jj[keep]], type=pa.int64()),
+            'hamming': pa.array(dist[ii, jj][keep].astype(np.int64),
+                                type=pa.int64()),
         })
 
     from yargy_ray.stages.exchange import partitioned_reduce
