@@ -235,10 +235,14 @@ def q_sessionize(sf_dir):
     from yargy_ray.stages.windows import sessionize
 
     def prep(batch: pa.Table) -> pa.Table:
-        # pre-round value to cents so distributed sum == SQL sum exactly
-        cents = pc.cast(_cents(batch.column('value')), pa.float64())
-        return batch.set_column(
-            batch.schema.get_field_index('value'), 'value', cents)
+        # pre-round value to cents so distributed sum == SQL sum exactly;
+        # project to the 4 needed columns so the exchange ships no text
+        return pa.table({
+            'user_id': batch.column('user_id'),
+            'event_id': batch.column('event_id'),
+            'ts': batch.column('ts'),
+            'value': pc.cast(_cents(batch.column('value')), pa.float64()),
+        })
 
     ds = _read(sf_dir, 'events').map_batches(prep, batch_format='pyarrow')
     out = sessionize(ds, gap_minutes=30)
@@ -447,10 +451,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         'lineitem_agg': """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
-                       AS sum_qty_cents,
-                   SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
-                       AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -472,8 +476,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         'revenue_by_nation': """
             SELECT n_name,
-                   SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
-                       AS revenue_cents
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -545,25 +549,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), numbered AS (
-                SELECT *, SUM(is_new) OVER (
+                SELECT *, CAST(SUM(is_new) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
                 FROM marked
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-                   SUM(cents) AS sum_value_cents
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
             FROM numbered GROUP BY user_id, session_id
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,
                    COUNT(*) AS n_events,
-                   SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
-                       AS sum_value_cents
+                   CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
         """,
         'emb_topk': """
-            SELECT 0 AS query_id,
+            SELECT CAST(0 AS BIGINT) AS query_id,
                    ROW_NUMBER() OVER (
                        ORDER BY list_cosine_similarity(
                            embedding,

@@ -71,7 +71,16 @@ def main():
             print(f'{name}: ROWCOUNT MISMATCH ray={len(got)} sql={len(want)}')
             failures += 1
             continue
-        # normalize dtypes before compare
+        # strict: dtypes must already agree (the driver hashes raw values,
+        # so an int128/object oracle column vs int64 ray column is a FAIL)
+        dtype_mismatch = [
+            (c, str(got[c].dtype), str(want[c].dtype))
+            for c in got.columns if got[c].dtype != want[c].dtype
+        ]
+        if dtype_mismatch:
+            print(f'{name}: DTYPE MISMATCH {dtype_mismatch}')
+            failures += 1
+        # normalize dtypes before value compare
         for col in got.columns:
             try:
                 want[col] = want[col].astype(got[col].dtype)

@@ -14,57 +14,78 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _sessionize_group(group: pa.Table, gap_us: int) -> pa.Table:
-    user = group.column('user_id')[0].as_py()
-    ts = group.column('ts').to_pylist()
-    eids = group.column('event_id').to_pylist()
-    values = group.column('value').to_pylist()
-    order = sorted(range(len(ts)), key=lambda i: (ts[i], eids[i]))
-    rows = []
-    session = -1
-    prev = None
-    start = end = None
-    n = 0
-    total = 0.0
-    for i in order:
-        t = ts[i]
-        if prev is None or (t - prev).total_seconds() * 1e6 > gap_us:
-            if session >= 0:
-                rows.append((user, session, n, start, end, total))
-            session += 1
-            n = 0
-            total = 0.0
-            start = t
-        n += 1
-        total += values[i]
-        end = t
-        prev = t
-    if session >= 0:
-        rows.append((user, session, n, start, end, total))
+def _sessionize_partition(part: pa.Table, gap_us: int) -> pa.Table:
+    """Vectorized sessionization over one hash partition of users.
+
+    The partition holds COMPLETE per-user groups (partitioned_reduce
+    guarantee), so a single lexsort by (user, ts, event_id) followed by
+    numpy diff/cumsum computes every user's session boundaries at once —
+    no per-user UDF calls, no per-row Python.
+    """
+    n = part.num_rows
+    if n == 0:
+        return pa.table({
+            'user_id': pa.array([], type=pa.int64()),
+            'session_id': pa.array([], type=pa.int64()),
+            'n_events': pa.array([], type=pa.int64()),
+            'start_ts': pa.array([], type=pa.timestamp('us')),
+            'end_ts': pa.array([], type=pa.timestamp('us')),
+            'sum_value': pa.array([], type=pa.float64()),
+        })
+    user = pc.cast(part.column('user_id'), pa.int64()).to_numpy()
+    ts = (part.column('ts').cast(pa.timestamp('us'))
+          .to_numpy().astype('int64'))
+    eid = pc.cast(part.column('event_id'), pa.int64()).to_numpy()
+    val = part.column('value').to_numpy()
+
+    order = np.lexsort((eid, ts, user))
+    user = user[order]
+    ts = ts[order]
+    val = val[order]
+
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    np.not_equal(user[1:], user[:-1], out=new_user[1:])
+    is_new = new_user.copy()
+    # strict ">" gap matches SQL `ts - LAG(ts) > INTERVAL gap`
+    is_new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+
+    # session_id = per-user 0-based counter of session starts
+    sess_global = np.cumsum(is_new) - 1
+    user_base = np.maximum.accumulate(np.where(new_user, sess_global, -1))
+    session_id = sess_global - user_base
+
+    starts = np.flatnonzero(is_new)
+    ends = np.append(starts[1:], n)
     return pa.table({
-        'user_id': pa.array([r[0] for r in rows], type=pa.int64()),
-        'session_id': pa.array([r[1] for r in rows], type=pa.int64()),
-        'n_events': pa.array([r[2] for r in rows], type=pa.int64()),
-        'start_ts': pa.array([r[3] for r in rows], type=pa.timestamp('us')),
-        'end_ts': pa.array([r[4] for r in rows], type=pa.timestamp('us')),
-        'sum_value': pa.array([r[5] for r in rows], type=pa.float64()),
+        'user_id': pa.array(user[starts], type=pa.int64()),
+        'session_id': pa.array(session_id[starts], type=pa.int64()),
+        'n_events': pa.array(ends - starts, type=pa.int64()),
+        'start_ts': pa.array(ts[starts]).cast(pa.timestamp('us')),
+        'end_ts': pa.array(ts[ends - 1]).cast(pa.timestamp('us')),
+        'sum_value': pa.array(np.add.reduceat(val, starts),
+                              type=pa.float64()),
     })
 
 
-def sessionize(events_ds, gap_minutes=30):
-    """Gap-based sessions per user: one groupby, in-group time sort."""
+def sessionize(events_ds, gap_minutes=30, num_partitions=64):
+    """Gap-based sessions per user: ONE hash-partition exchange on
+    user_id, then one vectorized numpy reduce per partition (sort by
+    (user, ts, id) + diff + cumsum). Never one UDF call per user."""
+    from .exchange import partitioned_reduce
     gap_us = int(gap_minutes * 60 * 1e6)
 
-    def fn(group):
-        return _sessionize_group(group, gap_us)
+    def fn(part):
+        return _sessionize_partition(part, gap_us)
 
-    return events_ds.groupby('user_id').map_groups(fn,
-                                                   batch_format='pyarrow')
+    return partitioned_reduce(events_ds, 'user_id', fn,
+                              num_partitions=num_partitions)
 
 
 def _tumbling_partial(batch: pa.Table) -> pa.Table:
     """Map-side combine: (event_type, hour) partial counts and sums."""
-    hours = pc.floor_temporal(batch.column('ts'), unit='hour')
+    hours = pc.floor_temporal(
+        batch.column('ts'), unit='hour').cast(pa.timestamp('us'))
     tbl = pa.table({
         'event_type': batch.column('event_type'),
         'window_start': hours,
@@ -81,9 +102,18 @@ def tumbling_window(events_ds, unit='hour'):
     """Per (event_type, hour) event count + value sum."""
     partial = events_ds.map_batches(_tumbling_partial,
                                     batch_format='pyarrow')
-    return (
+    out = (
         partial.groupby(['event_type', 'window_start'])
         .sum(['n', 'sum_value'])
         .rename_columns({'sum(n)': 'n_events',
                          'sum(sum_value)': 'sum_value'})
     )
+
+    def restore_unit(batch: pa.Table) -> pa.Table:
+        # Ray's sort-aggregate downcasts timestamp keys to [s]; restore us
+        i = batch.schema.get_field_index('window_start')
+        return batch.set_column(
+            i, 'window_start',
+            batch.column('window_start').cast(pa.timestamp('us')))
+
+    return out.map_batches(restore_unit, batch_format='pyarrow')
