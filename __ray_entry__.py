@@ -310,10 +310,30 @@ def q_emb_topk_ivf(sf_dir):
     return out.select(['query_id', 'rank', 'vec_id'])
 
 
+N_PLANTED = 8  # deterministic near-dup ground truth (copies of vec 0..7)
+
+
+def _planted_embeddings(sf_dir):
+    from yargy_ray.stages.dedup import plant_duplicate_vectors
+    emb = _read(sf_dir, 'embeddings').select_columns(['vec_id', 'embedding'])
+    return plant_duplicate_vectors(emb, n_planted=N_PLANTED)
+
+
 def q_emb_near_dups(sf_dir):
+    """Multi-table hyperplane LSH near-dups. The synthetic embeddings are
+    random (max natural cosine ~0.51), so exact copies of vec 0..7 are
+    planted under ids -1..-8: the 8 (copy, original) pairs at cosine 1.0
+    are the known ground truth this query must surface."""
     from yargy_ray.stages.dedup import embedding_near_dups
-    return embedding_near_dups(_read(sf_dir, 'embeddings'), dim=64,
-                               threshold=0.9)
+    return embedding_near_dups(_planted_embeddings(sf_dir), dim=64,
+                               threshold=0.95, planes=12, tables=4)
+
+
+def q_emb_near_dups_exact(sf_dir):
+    """Exact O(N^2) cosine pairs via broadcast matmul — SQL-oracled."""
+    from yargy_ray.stages.dedup import embedding_near_dups_exact
+    return embedding_near_dups_exact(_planted_embeddings(sf_dir),
+                                     threshold=0.95)
 
 
 # ---------------------------------------------------------------------------
@@ -434,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'emb_topk': q_emb_topk,
         'emb_topk_ivf': q_emb_topk_ivf,
         'emb_near_dups': q_emb_near_dups,
+        'emb_near_dups_exact': q_emb_near_dups_exact,
         'minhash_pairs': q_minhash_pairs,
         'simhash_pairs': q_simhash_pairs,
         'ngram_pairs': q_ngram_pairs,
@@ -577,5 +598,56 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM embeddings
             ORDER BY rank LIMIT 10
+        """,
+        'emb_near_dups_exact': f"""
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT -1 - vec_id AS vec_id, embedding
+                FROM embeddings WHERE vec_id < {N_PLANTED}
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        'ngram_pairs': r"""
+            WITH d AS (
+                SELECT doc_id,
+                       LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                           AS n_tok_band,
+                       CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE REGEXP_SPLIT_TO_ARRAY(
+                                TRIM(LOWER(text)), '\s+')
+                       END AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CAST(FLOOR(n_tok_band / 32.0) AS BIGINT) AS bucket,
+                       CASE WHEN LEN(words) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN LEN(words) < 3
+                                THEN [ARRAY_TO_STRING(words, ' ')]
+                            ELSE LIST_DISTINCT(LIST_TRANSFORM(
+                                RANGE(1, LEN(words) - 1),
+                                i -> ARRAY_TO_STRING(words[i:i+2], ' ')))
+                       END AS grams
+                FROM d
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY bucket ORDER BY doc_id) AS rn
+                FROM g
+            ), scored AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       CASE WHEN LEN(LIST_DISTINCT(
+                                LIST_CONCAT(x.grams, y.grams))) = 0 THEN 1.0
+                            ELSE CAST(LEN(LIST_INTERSECT(x.grams, y.grams))
+                                      AS DOUBLE)
+                                 / LEN(LIST_DISTINCT(
+                                       LIST_CONCAT(x.grams, y.grams)))
+                       END AS jaccard
+                FROM ranked x JOIN ranked y
+                  ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+                WHERE x.rn <= 256 AND y.rn <= 256
+            )
+            SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
     }

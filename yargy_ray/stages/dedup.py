@@ -121,10 +121,6 @@ def shingle_set(text, k=5):
     return np.unique(char_gram_hashes(text, k))
 
 
-def hash_bytes(b: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), 'big')
-
-
 class MinHasher:
     """Vectorized MinHash signatures; built once per actor."""
 
@@ -144,8 +140,23 @@ class MinHasher:
         return sig
 
 
-class MinHashBander:
-    """map_batches callable: docs -> (bucket, doc_id, signature) rows."""
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+class MinHashSigner:
+    """Actor: docs -> ONE row per doc with the packed signature and all
+    band bucket keys precomputed.
+
+    Output schema: ``doc_id:int64, sig:binary(num_perm*8 bytes),
+    band_0..band_{bands-1}:int64``. Band hashing is vectorized over the
+    whole batch (a splitmix64 chain over the band's signature columns);
+    only the per-doc shingling loop remains, which is inherent to text.
+
+    This replaces the old band-row emitter that shipped the FULL
+    64-perm signature on every one of 16 band rows (~8 KB shuffled per
+    doc). Band rows derived from this table carry 16 bytes each; the
+    signature crosses the wire once, in the verify join.
+    """
 
     def __init__(self, num_perm=64, bands=16, k=5, seed=7):
         assert num_perm % bands == 0
@@ -155,50 +166,56 @@ class MinHashBander:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column('doc_id').to_pylist()
         texts = batch.column('text').to_pylist()
-        out_bucket, out_doc, out_sig = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = self.hasher.signature(shingle_set(text, self.k))
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:
-                            (band + 1) * self.rows_per_band]
-                bucket = hash_bytes(
-                    band.to_bytes(2, 'big') + chunk.tobytes())
-                out_bucket.append(bucket % (2**63))
-                out_doc.append(doc_id)
-                out_sig.append(sig.astype(np.int64).tolist())
-        return pa.table({
-            'bucket': pa.array(out_bucket, type=pa.int64()),
-            'doc_id': pa.array(out_doc, type=pa.int64()),
-            'sig': pa.array(out_sig, type=pa.list_(pa.int64())),
-        })
+        n = len(texts)
+        if n == 0:
+            cols = {'doc_id': pa.array([], type=pa.int64()),
+                    'sig': pa.array([], type=pa.binary())}
+            for b in range(self.bands):
+                cols[f'band_{b}'] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        mat = np.empty((n, self.hasher.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            mat[i] = self.hasher.signature(shingle_set(text, self.k))
+        cols = {
+            'doc_id': batch.column('doc_id'),
+            'sig': pa.array([row.tobytes() for row in mat],
+                            type=pa.binary()),
+        }
+        rpb = self.rows_per_band
+        for b in range(self.bands):
+            h = np.full(n, np.uint64(b + 1) * _GOLDEN, dtype=np.uint64)
+            for j in range(rpb):
+                h = _mix64(h ^ mat[:, b * rpb + j])
+            cols[f'band_{b}'] = pa.array(
+                (h >> np.uint64(1)).astype(np.int64), type=pa.int64())
+        return pa.table(cols)
+
+
+def _sig_matrix(arr, num_perm):
+    """binary signature column -> (n, num_perm) uint64 matrix.
+
+    Runs only over candidate-pair rows (small), so the per-row bytes
+    join is not a hot path.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data = b''.join(arr.to_pylist())
+    return np.frombuffer(data, dtype=np.uint64).reshape(-1, num_perm)
 
 
 MAX_BUCKET = 256  # hot-bucket cap: boilerplate shingles otherwise O(n^2)
 
 
-def _bucket_pairs(group: pa.Table, threshold, sig_jaccard=True):
-    ids = group.column('doc_id').to_pylist()
-    if len(ids) < 2:
-        return pa.table({
-            'a': pa.array([], type=pa.int64()),
-            'b': pa.array([], type=pa.int64()),
-            'sim': pa.array([], type=pa.float64()),
-        })
-    sigs = group.column('sig').to_pylist()
-    order = np.argsort(ids)[:MAX_BUCKET]
-    mat = np.asarray([sigs[i] for i in order])          # (k, num_perm)
-    # pairwise estimated Jaccard = fraction of equal signature slots,
-    # one broadcasted compare instead of a Python O(k^2) loop
-    sims = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-    ii, jj = np.triu_indices(len(order), k=1)
-    keep = sims[ii, jj] >= threshold
-    ids_sorted = np.asarray([ids[i] for i in order])
+def _bucket_candidates(group: pa.Table) -> pa.Table:
+    """One bucket -> candidate (a, b) id pairs, capped at MAX_BUCKET
+    members (smallest doc_ids survive — deterministic)."""
+    ids = group.column('doc_id').to_numpy(zero_copy_only=False)
+    ids = np.sort(ids)[:MAX_BUCKET]
+    ii, jj = np.triu_indices(len(ids), k=1)
     return pa.table({
-        'a': pa.array(ids_sorted[ii[keep]], type=pa.int64()),
-        'b': pa.array(ids_sorted[jj[keep]], type=pa.int64()),
-        'sim': pa.array(sims[ii, jj][keep], type=pa.float64()),
+        'a': pa.array(ids[ii], type=pa.int64()),
+        'b': pa.array(ids[jj], type=pa.int64()),
     })
 
 
@@ -224,25 +241,143 @@ def _per_bucket(table: pa.Table, fn) -> pa.Table:
 
 def minhash_near_dups(docs_ds, num_perm=64, bands=16, k=5, threshold=0.7,
                       num_partitions=64, concurrency=(1, 4)):
-    """Candidate near-dup pairs with estimated Jaccard >= threshold.
+    """Near-dup pairs with estimated (signature) Jaccard >= threshold.
 
-    Pairs are emitted once per SHARED bucket then deduped by (a, b) —
-    the final groupby keeps the max similarity.
+    Dataflow (bytes per doc in parentheses, num_perm=64 / bands=16):
+
+    1. sign ONCE per doc (actor pool) -> narrow signature table
+       (8 B id + 512 B sig + 16x8 B precomputed band keys), materialized
+       because it feeds two branches — at warehouse scale this is the
+       parquet-checkpointed signature store, here Ray's object store.
+    2. band melt -> (bucket, doc_id) rows (16 B x bands shuffled).
+    3. bucket groupby -> candidate pairs, capped per hot bucket.
+    4. distinct pairs (groupby) -> verify join: each side of the pair
+       pulls its signature (sig crosses the exchange once per doc per
+       side), estimated Jaccard = mean equal slots, vectorized.
+
+    Old layout shipped sig on every band row (~8 KB/doc); this ships
+    ~0.25 KB of band rows + <=1 KB of join traffic per doc.
     """
-    from yargy_ray.stages.exchange import partitioned_reduce
-    banded = docs_ds.map_batches(
-        MinHashBander,
+    sigs = docs_ds.map_batches(
+        MinHashSigner,
         fn_constructor_kwargs={'num_perm': num_perm, 'bands': bands, 'k': k},
-        batch_format='pyarrow', concurrency=concurrency)
+        batch_format='pyarrow', concurrency=concurrency).materialize()
+
+    pairs = _banded_candidates(sigs, bands, num_partitions)
+    verified = _verify_pairs_with_sigs(pairs, sigs, num_perm, num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or 'sig_a' not in batch.column_names:
+            return pa.table({
+                'a': pa.array([], type=pa.int64()),
+                'b': pa.array([], type=pa.int64()),
+                'sim': pa.array([], type=pa.float64()),
+            })
+        sig_a = _sig_matrix(batch.column('sig_a'), num_perm)
+        sig_b = _sig_matrix(batch.column('sig_b'), num_perm)
+        sim = (sig_a == sig_b).mean(axis=1)
+        keep = sim >= threshold
+        return pa.table({
+            'a': batch.column('a').filter(pa.array(keep)),
+            'b': batch.column('b').filter(pa.array(keep)),
+            'sim': pa.array(sim[keep], type=pa.float64()),
+        })
+
+    return verified.map_batches(score, batch_format='pyarrow')
+
+
+def _banded_candidates(sigs, bands, num_partitions):
+    """Signature table -> distinct candidate (a, b) pairs via band
+    buckets. Band rows are 16 bytes; per-bucket pair emission is capped
+    and vectorized."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def melt(batch: pa.Table) -> pa.Table:
+        doc = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        cols = [batch.column(f'band_{b}').to_numpy(zero_copy_only=False)
+                for b in range(bands)]
+        return pa.table({
+            'bucket': pa.array(np.concatenate(cols), type=pa.int64()),
+            'doc_id': pa.array(np.tile(doc, bands), type=pa.int64()),
+        })
+
+    band_rows = sigs.map_batches(melt, batch_format='pyarrow')
 
     def reduce_fn(table):
-        return _per_bucket(table, lambda g: _bucket_pairs(g, threshold))
+        return _per_bucket(table, _bucket_candidates)
 
-    pairs = partitioned_reduce(banded, 'bucket', reduce_fn, num_partitions)
-    return (
-        pairs.groupby(['a', 'b']).max('sim')
-        .rename_columns({'max(sim)': 'sim'})
-    )
+    cand = partitioned_reduce(band_rows, 'bucket', reduce_fn, num_partitions)
+    # a pair sharing multiple buckets is emitted once per bucket — dedup
+    distinct = cand.groupby(['a', 'b']).count()
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(['a', 'b'])
+
+    return distinct.map_batches(drop_count, batch_format='pyarrow')
+
+
+def _reduce_join_sig(pairs_ds, sigs_ds, key_col, carry, out_name,
+                     num_partitions):
+    """Reduce-side inner join: attach the signature of ``key_col``'s doc
+    to every pair row, as column ``out_name``.
+
+    Both sides are standardized to one union schema (key + carried pair
+    columns + sig + side flag), hash-partitioned ONCE on the key, and
+    joined per partition with an in-memory Arrow join — the engine's
+    partitioned_reduce exchange, no driver round-trip. ``carry`` maps
+    pair-side column name -> pyarrow type to ship through the exchange.
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    carry_items = list(carry.items())
+
+    def left_std(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {'key': batch.column(key_col).cast(pa.int64())}
+        for name, typ in carry_items:
+            cols[name] = batch.column(name)
+        cols['sig'] = pa.nulls(n, pa.binary())
+        cols['side'] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def right_std(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {'key': batch.column('doc_id').cast(pa.int64())}
+        for name, typ in carry_items:
+            cols[name] = pa.nulls(n, typ)
+        cols['sig'] = batch.column('sig')
+        cols['side'] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    union = pairs_ds.map_batches(left_std, batch_format='pyarrow').union(
+        sigs_ds.map_batches(right_std, batch_format='pyarrow'))
+
+    carry_names = [name for name, _ in carry_items]
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = part.column('side')
+        lt = part.filter(pc.equal(side, 0)).select(['key'] + carry_names)
+        rt = part.filter(pc.equal(side, 1)).select(['key', 'sig'])
+        # per-partition Arrow hash join (complete key groups by
+        # construction); dedupe the sig side defensively
+        joined = lt.join(rt, keys='key', join_type='inner')
+        names = [key_col if c == 'key' else (out_name if c == 'sig' else c)
+                 for c in joined.column_names]
+        return joined.rename_columns(names)
+
+    return partitioned_reduce(union, 'key', reduce_fn, num_partitions)
+
+
+def _verify_pairs_with_sigs(pairs, sigs, num_perm, num_partitions):
+    """Attach sig_a / sig_b to each candidate pair (two reduce-side
+    joins — the signature crosses an exchange once per doc per side)."""
+    sig_cols = sigs.select_columns(['doc_id', 'sig'])
+    j = _reduce_join_sig(pairs, sig_cols, 'a', {'b': pa.int64()},
+                         'sig_a', num_partitions)
+    return _reduce_join_sig(j, sig_cols, 'b',
+                            {'a': pa.int64(), 'sig_a': pa.binary()},
+                            'sig_b', num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -357,13 +492,25 @@ def simhash_near_dups(docs_ds, max_hamming=3):
     """
     sigs = docs_ds.map_batches(_simhash_batch, batch_format='pyarrow')
 
-    def to_buckets(row):
-        raw = int(row['simhash']) & _MASK64
-        return [
-            {'bucket': (chunk << 16) | ((raw >> (16 * chunk)) & 0xFFFF),
-             'doc_id': row['doc_id'], 'simhash': row['simhash']}
-            for chunk in range(4)
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        """Vectorized 4x bucket emission: shift/mask the int64 signature
+        column with numpy, tile ids — no per-row Python."""
+        raw = batch.column('simhash').to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        chunks = [
+            ((np.uint64(c) << np.uint64(16))
+             | ((raw >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
+            for c in range(4)
         ]
+        return pa.table({
+            'bucket': pa.array(
+                np.concatenate(chunks).astype(np.int64), type=pa.int64()),
+            'doc_id': pa.array(np.tile(
+                batch.column('doc_id').to_numpy(zero_copy_only=False), 4),
+                type=pa.int64()),
+            'simhash': pa.array(np.tile(raw, 4).view(np.int64),
+                                type=pa.int64()),
+        })
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group.column('doc_id').to_pylist()
@@ -389,7 +536,7 @@ def simhash_near_dups(docs_ds, max_hamming=3):
         })
 
     from yargy_ray.stages.exchange import partitioned_reduce
-    bucketed = sigs.flat_map(to_buckets)
+    bucketed = sigs.map_batches(to_buckets, batch_format='pyarrow')
 
     def reduce_fn(table):
         return _per_bucket(table, pairs)
@@ -406,32 +553,70 @@ def simhash_near_dups(docs_ds, max_hamming=3):
 # ---------------------------------------------------------------------------
 
 class HyperplaneBucketer:
-    def __init__(self, dim, planes=12, seed=11):
+    """Multi-table random-hyperplane LSH: ``tables`` independent sets of
+    ``planes`` hyperplanes. A pair at cosine c collides in one table
+    with probability (1 - acos(c)/pi)^planes; running T tables drives
+    the miss rate to (1-p)^T — e.g. cosine 0.99, 12 planes, 4 tables
+    -> ~0.07% miss. Bucket emission is one batched matmul + sign pack,
+    no per-row Python."""
+
+    def __init__(self, dim, planes=12, tables=4, seed=11):
         rng = np.random.RandomState(seed)
-        self.planes = rng.randn(planes, dim).astype(np.float32)
+        self.planes = rng.randn(tables * planes, dim).astype(np.float32)
+        self.tables = tables
+        self.n_planes = planes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column('vec_id').to_pylist()
+        ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
         vecs = np.asarray(batch.column('embedding').to_pylist(),
                           dtype=np.float32)
-        signs = (vecs @ self.planes.T) > 0
-        buckets = signs.dot(1 << np.arange(signs.shape[1])).astype(np.int64)
+        signs = (vecs @ self.planes.T) > 0        # (n, tables*planes)
+        weights = (1 << np.arange(self.n_planes)).astype(np.int64)
+        buckets = []
+        for t in range(self.tables):
+            chunk = signs[:, t * self.n_planes:(t + 1) * self.n_planes]
+            buckets.append(
+                (np.int64(t) << np.int64(48)) | chunk.dot(weights))
+        n = len(ids)
+        tiled = pa.array(np.tile(np.arange(n), self.tables))
         return pa.table({
-            'bucket': pa.array(buckets, type=pa.int64()),
-            'vec_id': pa.array(ids, type=pa.int64()),
-            'embedding': batch.column('embedding'),
+            'bucket': pa.array(np.concatenate(buckets), type=pa.int64()),
+            'vec_id': pa.array(np.tile(ids, self.tables), type=pa.int64()),
+            'embedding': batch.column('embedding').take(tiled),
         })
 
 
-def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12):
-    """Vector pairs with cosine >= threshold via hyperplane LSH buckets."""
+def _cosine_pairs_table(ids_sorted, unit, threshold):
+    """Upper-triangle cosine pairs >= threshold, fully vectorized."""
+    sim = unit @ unit.T
+    ii, jj = np.triu_indices(len(ids_sorted), k=1)
+    keep = sim[ii, jj] >= threshold
+    return pa.table({
+        'a': pa.array(ids_sorted[ii[keep]], type=pa.int64()),
+        'b': pa.array(ids_sorted[jj[keep]], type=pa.int64()),
+        'cosine': pa.array(sim[ii, jj][keep].astype(np.float64),
+                           type=pa.float64()),
+    })
+
+
+def _unit_rows(vecs):
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    return vecs / norms[:, None]
+
+
+def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12, tables=4):
+    """Vector pairs with cosine >= threshold via multi-table hyperplane
+    LSH buckets (approximate: recall ~1-(1-p)^tables, see
+    HyperplaneBucketer). Verification inside each bucket is one matmul."""
     bucketed = emb_ds.map_batches(
         HyperplaneBucketer,
-        fn_constructor_kwargs={'dim': dim, 'planes': planes},
+        fn_constructor_kwargs={'dim': dim, 'planes': planes,
+                               'tables': tables},
         batch_format='pyarrow', concurrency=(1, 4))
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column('vec_id').to_pylist()
+        ids = group.column('vec_id').to_numpy(zero_copy_only=False)
         if len(ids) < 2:
             return pa.table({
                 'a': pa.array([], type=pa.int64()),
@@ -439,25 +624,10 @@ def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12):
                 'cosine': pa.array([], type=pa.float64()),
             })
         vecs = np.asarray(group.column('embedding').to_pylist(),
-                          dtype=np.float32)
+                          dtype=np.float64)
         order = np.argsort(ids)[:MAX_BUCKET]
-        vecs = vecs[order]
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        a, b, sims = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                if sim[i, j] >= threshold:
-                    a.append(ids[order[i]])
-                    b.append(ids[order[j]])
-                    sims.append(float(sim[i, j]))
-        return pa.table({
-            'a': pa.array(a, type=pa.int64()),
-            'b': pa.array(b, type=pa.int64()),
-            'cosine': pa.array(sims, type=pa.float64()),
-        })
+        return _cosine_pairs_table(ids[order], _unit_rows(vecs[order]),
+                                   threshold)
 
     from yargy_ray.stages.exchange import partitioned_reduce
 
@@ -469,3 +639,64 @@ def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12):
         found.groupby(['a', 'b']).max('cosine')
         .rename_columns({'max(cosine)': 'cosine'})
     )
+
+
+def embedding_near_dups_exact(emb_ds, threshold=0.95):
+    """EXACT cosine near-dup pairs: the whole (narrow) embedding table
+    is broadcast once via ray.put and every streaming batch does one
+    matmul against it — O(N^2) compute, distributed over batches, zero
+    shuffle. This is the oracle baseline for the LSH variant; at 10^11+
+    vectors use :func:`embedding_near_dups`.
+
+    Emits only (a, b) with a < b (each batch keeps pairs whose smaller
+    id falls in the batch — every pair counted exactly once)."""
+    import ray
+
+    all_tbl = pa.concat_tables(
+        ray.get(emb_ds.to_arrow_refs()), promote_options='default')
+    all_ids = all_tbl.column('vec_id').to_numpy(zero_copy_only=False)
+    all_unit = _unit_rows(np.asarray(
+        all_tbl.column('embedding').to_pylist(), dtype=np.float64))
+    ref = ray.put((all_ids, all_unit))
+
+    class BlockPairs:
+        def __init__(self):
+            self.ids, self.unit = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
+            unit = _unit_rows(np.asarray(
+                batch.column('embedding').to_pylist(), dtype=np.float64))
+            sim = unit @ self.unit.T            # (batch, N)
+            hit = sim >= threshold
+            bi, gj = np.nonzero(hit)
+            a = ids[bi]
+            b = self.ids[gj]
+            keep = a < b
+            return pa.table({
+                'a': pa.array(a[keep], type=pa.int64()),
+                'b': pa.array(b[keep], type=pa.int64()),
+            })
+
+    return emb_ds.map_batches(BlockPairs, batch_format='pyarrow',
+                              concurrency=(1, 4))
+
+
+def plant_duplicate_vectors(emb_ds, n_planted=8, id_offset=None):
+    """Append exact copies of the vectors with vec_id < n_planted under
+    ids -1-vec_id. Deterministic ground truth for near-dup queries over
+    corpora with no natural near pairs (the planted (orig, copy) pairs
+    have cosine exactly 1.0). Mirrored by SQL oracles via UNION ALL."""
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.less(batch.column('vec_id'), n_planted)
+        copies = batch.filter(mask)
+        if copies.num_rows:
+            neg = pc.subtract(pa.scalar(-1, pa.int64()),
+                              pc.cast(copies.column('vec_id'), pa.int64()))
+            copies = copies.set_column(
+                copies.schema.get_field_index('vec_id'), 'vec_id', neg)
+            batch = pa.concat_tables([batch, copies])
+        return batch
+
+    return emb_ds.map_batches(plant, batch_format='pyarrow')

@@ -95,31 +95,25 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-ROLLING_BASE = 1_000_003
-ROLLING_MOD = (1 << 61) - 1
-
-
 def rolling_fingerprint_batch(batch: pa.Table, window=16) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over
-    character windows — robust to small suffix edits (unlike md5)."""
-    out = []
-    for t in batch.column('text').to_pylist():
-        if len(t) < window:
-            h = 0
-            for ch in t:
-                h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
-            out.append(h)
-            continue
-        h = 0
-        pow_w = pow(ROLLING_BASE, window - 1, ROLLING_MOD)
-        best = None
-        for i, ch in enumerate(t):
-            if i >= window:
-                h = (h - ord(t[i - window]) * pow_w) % ROLLING_MOD
-            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
-            if i >= window - 1:
-                best = h if best is None or h < best else best
-        out.append(best)
+    character windows — robust to small suffix edits (unlike md5).
+
+    Vectorized: reuses the Horner-polynomial k-gram hasher from the
+    dedup stage (``window`` numpy ops per doc, no per-character Python).
+    Texts shorter than ``window`` hash as one whole-text window; empty
+    text fingerprints as 0.
+    """
+    import numpy as np
+
+    from yargy_ray.stages.dedup import char_gram_hashes
+
+    texts = batch.column('text').to_pylist()
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = char_gram_hashes(t, window)
+        if h.size:
+            out[i] = np.int64(h.min() >> np.uint64(1))
     return pa.table({
         'doc_id': batch.column('doc_id'),
         'rfp': pa.array(out, type=pa.int64()),
