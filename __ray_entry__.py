@@ -366,6 +366,11 @@ def q_rolling_fingerprint(sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_kg_triples(sf_dir):
+    """Flagship: distinct (subj, pred, obj) triples from the synthetic
+    transcripts. Projected to the deterministic logical output (span /
+    provenance columns of a dedup survivor are advisory and would
+    defeat the value-hash compare); the SQL oracle re-derives the same
+    triples from the template corpus with regexes + inline mappings."""
     import ray.data
     from yargy_ray.pipelines.kg import dedup_triples
     from yargy_ray.stages.extract import extract_mentions, project_triples
@@ -373,7 +378,12 @@ def q_kg_triples(sf_dir):
     turns = ray.data.read_parquet(
         tpath, columns=['conv_id', 'turn_idx', 'text'])
     triples = project_triples(extract_mentions(turns, concurrency=(1, 4)))
-    return dedup_triples(triples).drop_columns(['tkey'])
+    deduped = dedup_triples(triples)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(['subj', 'pred', 'obj'])
+
+    return deduped.map_batches(project, batch_format='pyarrow')
 
 
 def q_kg_nodes(sf_dir):
@@ -468,7 +478,143 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Transcript-derived oracles (driver correctness runs at sf0.01)
+#
+# The synthetic transcripts are template-generated: every sentence is one
+# of 8 fixed shapes, so the Earley extraction output over this corpus is
+# exactly re-derivable in SQL with per-sentence regexes + the grammar's
+# normalization maps inlined (month genitive -> number, multiplier words,
+# currency codes, morph lowering of the closed name vocabulary). The SQL
+# reads the same deterministic /tmp parquet cache the Ray queries use.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SF_DIR = '/root/testdata/sf0.01'
+
+
+def _transcript_glob():
+    name = os.path.basename(os.path.normpath(_ORACLE_SF_DIR))
+    n = _SF_CONVS.get(name, 24)
+    return f'/tmp/yargy_ray_cache/transcripts_{name}_{n}/*.parquet'
+
+
+_MONTH_CASE = ' '.join(
+    f"WHEN '{name}' THEN '{num:02d}'"
+    for num, name in enumerate(
+        ['января', 'февраля', 'марта', 'апреля', 'мая', 'июня', 'июля',
+         'августа', 'сентября', 'октября', 'ноября', 'декабря'], start=1))
+
+
+def _triples_cte():
+    """WITH-clause SQL deriving every (non-deduped) triple occurrence."""
+    return rf"""
+        turns AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{_transcript_glob()}')
+        ), sents AS (
+            SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS turn_uid,
+                   UNNEST(STR_SPLIT(text, ' . ')) AS sent
+            FROM turns
+        ), trip AS (
+            -- 'встреча D <месяц-род.> Y в офисе' -> ISO date
+            SELECT turn_uid AS subj, 'mentions_date' AS pred,
+                   REGEXP_EXTRACT(sent,
+                       '^встреча (\d+) ([а-яё]+) (\d+) в офисе$', 3)
+                   || '-' ||
+                   (CASE REGEXP_EXTRACT(sent,
+                       '^встреча (\d+) ([а-яё]+) (\d+) в офисе$', 2)
+                    {_MONTH_CASE} END)
+                   || '-' ||
+                   LPAD(REGEXP_EXTRACT(sent,
+                       '^встреча (\d+) ([а-яё]+) (\d+) в офисе$', 1),
+                       2, '0') AS obj
+            FROM sents
+            WHERE REGEXP_MATCHES(sent, '^встреча \d+ [а-яё]+ \d+ в офисе$')
+            UNION ALL
+            -- 'дедлайн YYYY-MM-DD подтвержден'
+            SELECT turn_uid, 'mentions_date',
+                   REGEXP_EXTRACT(sent,
+                       '^дедлайн (\d{{4}}-\d{{2}}-\d{{2}}) подтвержден$', 1)
+            FROM sents
+            WHERE REGEXP_MATCHES(
+                sent, '^дедлайн \d{{4}}-\d{{2}}-\d{{2}} подтвержден$')
+            UNION ALL
+            -- 'бюджет составил N тысяч|миллионов рублей|долларов'
+            SELECT turn_uid, 'mentions_amount',
+                   CAST(CAST(REGEXP_EXTRACT(sent,
+                       '^бюджет составил (\d+) (тысяч|миллионов)'
+                       || ' (рублей|долларов)$', 1) AS BIGINT)
+                       * (CASE REGEXP_EXTRACT(sent,
+                            '^бюджет составил (\d+) (тысяч|миллионов)'
+                            || ' (рублей|долларов)$', 2)
+                          WHEN 'тысяч' THEN 1000 ELSE 1000000 END)
+                       AS VARCHAR)
+                   || ' ' ||
+                   (CASE REGEXP_EXTRACT(sent,
+                        '^бюджет составил (\d+) (тысяч|миллионов)'
+                        || ' (рублей|долларов)$', 3)
+                    WHEN 'рублей' THEN 'RUB' ELSE 'USD' END)
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^бюджет составил \d+ (тысяч|миллионов) (рублей|долларов)$')
+            UNION ALL
+            -- 'это стоит N руб.'
+            SELECT turn_uid, 'mentions_amount',
+                   REGEXP_EXTRACT(sent, '^это стоит (\d+) руб\.$', 1)
+                   || ' RUB'
+            FROM sents
+            WHERE REGEXP_MATCHES(sent, '^это стоит \d+ руб\.$')
+            UNION ALL
+            -- 'на встрече был <должность> <Имя> <Фамилия>' (x2 triples)
+            SELECT turn_uid, 'mentions_person',
+                   LOWER(REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 2))
+                   || ' ' ||
+                   LOWER(REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 3))
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^на встрече был [а-яё]+ [А-ЯЁ][а-яё]+ [А-ЯЁ][а-яё]+$')
+            UNION ALL
+            SELECT LOWER(REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 2))
+                   || ' ' ||
+                   LOWER(REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 3)),
+                   'has_position',
+                   REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 1)
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^на встрече был [а-яё]+ [А-ЯЁ][а-яё]+ [А-ЯЁ][а-яё]+$')
+            UNION ALL
+            -- 'согласно ст. A п. B договора'
+            SELECT turn_uid, 'cites_clause',
+                   'ст.' || REGEXP_EXTRACT(sent,
+                       '^согласно ст\. (\d+) п\. (\d+) договора$', 1)
+                   || ' п.' || REGEXP_EXTRACT(sent,
+                       '^согласно ст\. (\d+) п\. (\d+) договора$', 2)
+            FROM sents
+            WHERE REGEXP_MATCHES(
+                sent, '^согласно ст\. \d+ п\. \d+ договора$')
+            UNION ALL
+            -- 'обсудили документ «...»'
+            SELECT turn_uid, 'mentions_title',
+                   REGEXP_EXTRACT(sent, '^обсудили документ «([^»]+)»$', 1)
+            FROM sents
+            WHERE REGEXP_MATCHES(sent, '^обсудили документ «[^»]+»$')
+        )"""
+
+
 def oracle_sql() -> dict[str, str]:
+    # the transcript-derived oracles read the deterministic /tmp cache;
+    # make sure it exists even if the SQL runs before the Ray queries
+    _transcripts_for(_ORACLE_SF_DIR)
     return {
         'lineitem_agg': """
             SELECT l_returnflag, l_linestatus,
@@ -649,5 +795,49 @@ def oracle_sql() -> dict[str, str]:
                 WHERE x.rn <= 256 AND y.rn <= 256
             )
             SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        'kg_triples': f"""
+            WITH {_triples_cte()}
+            SELECT DISTINCT subj, pred, obj FROM trip
+        """,
+        'kg_nodes': f"""
+            WITH {_triples_cte()}, incid AS (
+                SELECT CASE WHEN pred = 'has_position' THEN 'person'
+                            ELSE 'turn' END AS kind,
+                       subj AS norm
+                FROM trip
+                UNION ALL
+                SELECT CASE pred
+                           WHEN 'mentions_date' THEN 'date'
+                           WHEN 'mentions_amount' THEN 'amount'
+                           WHEN 'mentions_person' THEN 'person'
+                           WHEN 'mentions_title' THEN 'title'
+                           WHEN 'cites_clause' THEN 'clause'
+                           WHEN 'has_position' THEN 'position'
+                           ELSE 'value' END AS kind,
+                       obj AS norm
+                FROM trip
+            )
+            SELECT SUBSTR(MD5(kind || ':' || norm), 1, 16) AS node_id,
+                   kind, norm, COUNT(*) AS degree
+            FROM incid GROUP BY kind, norm
+        """,
+        'kg_linked': f"""
+            WITH {_triples_cte()}
+            SELECT DISTINCT subj, pred, obj,
+                   'POS:' || REPLACE(obj, ' ', '-') AS entity_id,
+                   TRUE AS linked
+            FROM trip WHERE pred = 'has_position'
+        """,
+        'doc_reconstruct': f"""
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(CAST(md5_number_lower(
+                           conv_id || chr(31) || CAST(turn_idx AS VARCHAR)
+                           || chr(31) || text) AS HUGEINT)
+                        % CAST(9223372036854775808 AS HUGEINT))
+                        % CAST(9223372036854775808 AS HUGEINT)
+                        AS BIGINT) AS checksum
+            FROM read_parquet('{_transcript_glob()}')
+            GROUP BY conv_id
         """,
     }

@@ -25,8 +25,12 @@ TURN_SEP = '\n'
 
 
 def _turn_hash(conv_id, turn_idx, text):
-    digest = hashlib.sha1(f'{conv_id}\x1f{turn_idx}\x1f{text}'.encode()).digest()
-    return int.from_bytes(digest[:8], 'big') % (2**63)
+    """md5-arithmetic turn hash, reproducible in DuckDB as
+    ``md5_number_lower(conv_id || chr(31) || turn_idx || chr(31) || text)
+    % 2**63`` (md5_number_lower == bytes [8:16) little-endian)."""
+    digest = hashlib.md5(
+        f'{conv_id}\x1f{turn_idx}\x1f{text}'.encode()).digest()
+    return int.from_bytes(digest[8:16], 'little') % (2**63)
 
 
 def _window_concat(group: pa.Table) -> pa.Table:

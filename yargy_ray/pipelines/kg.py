@@ -46,7 +46,7 @@ def _hash64(arr: pa.ChunkedArray) -> pa.ChunkedArray:
     polars' seeded xxhash: process-independent (unlike Python's
     ``hash()``) and 17x faster than a per-row sha1 loop. Used ONLY for
     shuffle keys (``tkey``/``part``), where within-run determinism is
-    what matters; content-addressed NODE ids stay sha1
+    what matters; content-addressed NODE ids stay md5
     (:func:`node_id_of`) so graph identity survives library upgrades.
     A polars version bump could reassign partitions between runs —
     harmless, because resume reruns stages wholesale (old part files
@@ -61,8 +61,12 @@ def _hash64(arr: pa.ChunkedArray) -> pa.ChunkedArray:
 
 
 def node_id_of(norm: str) -> str:
-    """Content-hash node id: stable across runs and cluster sizes."""
-    return hashlib.sha1(norm.encode()).hexdigest()[:16]
+    """Content-hash node id: stable across runs and cluster sizes.
+
+    md5 (not sha1) so SQL oracles can recompute it:
+    ``SUBSTR(MD5(s), 1, 16)`` in DuckDB yields the same id.
+    """
+    return hashlib.md5(norm.encode()).hexdigest()[:16]
 
 
 # ---------------------------------------------------------------------------
@@ -158,37 +162,57 @@ def extract_triples(turns_ds, factory_paths=DEFAULT_FACTORIES,
 # Node canonicalization
 # ---------------------------------------------------------------------------
 
+OBJ_KIND = {
+    'mentions_date': 'date',
+    'mentions_amount': 'amount',
+    'mentions_person': 'person',
+    'mentions_title': 'title',
+    'cites_clause': 'clause',
+    'has_position': 'position',
+}
+_OKIND_KEYS = pa.array(list(OBJ_KIND), type=pa.string())
+_OKIND_VALS = pa.array(list(OBJ_KIND.values()) + ['value'],
+                       type=pa.string())
+
+
+def _subj_kind(pred):
+    """Vectorized subject-node kind: person for has_position, else turn."""
+    return pc.if_else(pc.equal(pred, 'has_position'),
+                      pa.scalar('person'), pa.scalar('turn'))
+
+
+def _obj_kind(pred):
+    """Vectorized object-node kind via dictionary lookup (index_in +
+    take; unknown predicates fall back to 'value')."""
+    idx = pc.fill_null(pc.index_in(pred, value_set=_OKIND_KEYS),
+                       len(OBJ_KIND))
+    return pc.take(_OKIND_VALS, idx)
+
+
 def _emit_node_counts(batch: pa.Table) -> pa.Table:
     """Triples -> partial node rows (map-side pre-aggregation).
 
     subj of every triple is an entity/turn node; obj likewise. ``kind``
     comes from the predicate domain; ``norm`` is the canonical surface.
+    Combine is an Arrow hash groupby; only the content-hash node ids of
+    the DISTINCT (kind, norm) rows run per-row Python.
     """
-    counts = {}
-    subjs = batch.column('subj').to_pylist()
-    preds = batch.column('pred').to_pylist()
-    objs = batch.column('obj').to_pylist()
-    for subj, pred, obj in zip(subjs, preds, objs):
-        skind = 'person' if pred == 'has_position' else 'turn'
-        okind = {
-            'mentions_date': 'date',
-            'mentions_amount': 'amount',
-            'mentions_person': 'person',
-            'mentions_title': 'title',
-            'cites_clause': 'clause',
-            'has_position': 'position',
-        }.get(pred, 'value')
-        for kind, norm in ((skind, subj), (okind, obj)):
-            k = (kind, norm)
-            counts[k] = counts.get(k, 0) + 1
-    kinds = [k for k, _ in counts]
-    norms = [n for _, n in counts]
+    pred = batch.column('pred')
+    incid = pa.concat_tables([
+        pa.table({'kind': _subj_kind(pred), 'norm': batch.column('subj')}),
+        pa.table({'kind': _obj_kind(pred), 'norm': batch.column('obj')}),
+    ])
+    agg = pa.TableGroupBy(incid, ['kind', 'norm']).aggregate(
+        [([], 'count_all')])
+    kinds = agg.column('kind').to_pylist()
+    norms = agg.column('norm').to_pylist()
     return pa.table({
-        'node_id': pa.array([node_id_of(f'{k}:{n}') for (k, n) in counts],
-                            type=pa.string()),
-        'kind': pa.array(kinds, type=pa.string()),
-        'norm': pa.array(norms, type=pa.string()),
-        'degree': pa.array(list(counts.values()), type=pa.int64()),
+        'node_id': pa.array(
+            [node_id_of(f'{k}:{n}') for k, n in zip(kinds, norms)],
+            type=pa.string()),
+        'kind': agg.column('kind'),
+        'norm': agg.column('norm'),
+        'degree': agg.column('count_all').cast(pa.int64()),
     })
 
 
@@ -208,25 +232,25 @@ def canonicalize_nodes(triples_ds):
 # ---------------------------------------------------------------------------
 
 def _emit_edge_counts(batch: pa.Table) -> pa.Table:
-    counts = {}
-    convs = {}
-    subjs = batch.column('subj').to_pylist()
-    preds = batch.column('pred').to_pylist()
-    objs = batch.column('obj').to_pylist()
-    conv_ids = batch.column('conv_id').to_pylist()
-    for subj, pred, obj, conv in zip(subjs, preds, objs, conv_ids):
-        skind = 'person' if pred == 'has_position' else 'turn'
-        okind = 'value'
-        key = (node_id_of(f'{skind}:{subj}'), node_id_of(f'{okind}:{obj}'),
-               pred)
-        counts[key] = counts.get(key, 0) + 1
-        convs.setdefault(key, conv)
+    """Triples -> partial edge rows. Arrow hash groupby combine; the
+    content-hash endpoint ids run only over the distinct edges of the
+    batch. conv_id provenance keeps the min (deterministic)."""
+    agg = pa.TableGroupBy(
+        batch.select(['subj', 'pred', 'obj', 'conv_id']),
+        ['subj', 'pred', 'obj']).aggregate(
+        [('conv_id', 'min'), ([], 'count_all')])
+    skinds = _subj_kind(agg.column('pred')).to_pylist()
+    subjs = agg.column('subj').to_pylist()
+    objs = agg.column('obj').to_pylist()
     return pa.table({
-        'src': pa.array([k[0] for k in counts], type=pa.string()),
-        'dst': pa.array([k[1] for k in counts], type=pa.string()),
-        'pred': pa.array([k[2] for k in counts], type=pa.string()),
-        'weight': pa.array(list(counts.values()), type=pa.int64()),
-        'conv_id': pa.array([convs[k] for k in counts], type=pa.string()),
+        'src': pa.array(
+            [node_id_of(f'{k}:{s}') for k, s in zip(skinds, subjs)],
+            type=pa.string()),
+        'dst': pa.array(
+            [node_id_of(f'value:{o}') for o in objs], type=pa.string()),
+        'pred': agg.column('pred'),
+        'weight': agg.column('count_all').cast(pa.int64()),
+        'conv_id': agg.column('conv_id_min'),
     })
 
 
