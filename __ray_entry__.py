@@ -27,6 +27,19 @@ def _read(sf_dir, table):
     return ray.data.read_parquet(os.path.join(sf_dir, f'{table}.parquet'))
 
 
+def _pool(reserve=1, cap=None):
+    """Actor-pool sizing from the LIVE cluster: autoscale 1..cpus-reserve
+    (leaves CPUs for the task operators up/downstream). Hardcoding the
+    max under-parallelizes whenever the driver gives more cores."""
+    import ray
+    cpus = int(ray.cluster_resources().get('CPU', 4)) if \
+        ray.is_initialized() else 4
+    hi = max(2, cpus - reserve)
+    if cap:
+        hi = min(hi, cap)
+    return (1, hi)
+
+
 def _rename(batch: pa.Table, mapping) -> pa.Table:
     # pyarrow 16 rename_columns accepts only a full name list
     return batch.rename_columns(
@@ -224,7 +237,7 @@ def q_extract_ints(sf_dir):
         IntTokenExtractor,
         fn_constructor_kwargs={'id_column': 'event_id',
                                'text_column': 'props'},
-        batch_format='pyarrow', concurrency=(1, 4))
+        batch_format='pyarrow', concurrency=_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -303,10 +316,13 @@ def q_emb_topk(sf_dir):
 
 
 def q_emb_topk_ivf(sf_dir):
+    """ANN over the persisted IVF index: first call builds the
+    list-partitioned parquet index (manifest-checkpointed under /tmp),
+    subsequent calls read ONLY the probed list partitions."""
     from yargy_ray.stages.similarity import ivf_topk
     queries = _query_vectors(sf_dir, 3)
     out = ivf_topk(_read(sf_dir, 'embeddings'), queries, k=10,
-                   num_lists=8, nprobe=4)
+                   num_lists=8, nprobe=4, input_key=sf_dir)
     return out.select(['query_id', 'rank', 'vec_id'])
 
 
@@ -377,7 +393,7 @@ def q_kg_triples(sf_dir):
     tpath = _transcripts_for(sf_dir)
     turns = ray.data.read_parquet(
         tpath, columns=['conv_id', 'turn_idx', 'text'])
-    triples = project_triples(extract_mentions(turns, concurrency=(1, 4)))
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
     deduped = dedup_triples(triples)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -393,7 +409,7 @@ def q_kg_nodes(sf_dir):
     tpath = _transcripts_for(sf_dir)
     turns = ray.data.read_parquet(
         tpath, columns=['conv_id', 'turn_idx', 'text'])
-    triples = project_triples(extract_mentions(turns, concurrency=(1, 4)))
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
     return canonicalize_nodes(triples)
 
 
@@ -427,7 +443,7 @@ def q_kg_mentions_docscope(sf_dir):
     tpath = _transcripts_for(sf_dir)
     turns = ray.data.read_parquet(tpath)
     docs = reconstruct_documents(turns, window=64)
-    return extract_document_mentions(docs, concurrency=(1, 4))
+    return extract_document_mentions(docs, concurrency=_pool())
 
 
 def q_multimodal_features(sf_dir):

@@ -1,3 +1,8 @@
+# CONFORMANCE CORPUS — intentionally mirrors the reference test
+# file natasha/yargy v0.16.0 tests/test_pipeline.py (gazetteer golden texts and expected spans).
+# The fixtures ARE the public conformance surface this engine is
+# pinned to (SURVEY.md §5); the implementation under test is a
+# from-scratch reimplementation, not a copy.
 """Gazetteer conformance (reference: tests/test_pipeline.py)."""
 
 from yargy_ray.kernel import Parser, rule

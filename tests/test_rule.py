@@ -1,3 +1,8 @@
+# CONFORMANCE CORPUS — intentionally mirrors the reference test
+# file natasha/yargy v0.16.0 tests/test_rule.py (golden BNF dump strings).
+# The fixtures ARE the public conformance surface this engine is
+# pinned to (SURVEY.md §5); the implementation under test is a
+# from-scratch reimplementation, not a copy.
 """Grammar compiler goldens (reference: tests/test_rule.py — BNF strings)."""
 
 import pytest

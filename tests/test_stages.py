@@ -103,6 +103,29 @@ def test_ivf_topk_recall(vectors):
         assert len(want & got) / len(want) >= 0.5   # nprobe=4 of 8 lists
 
 
+def test_ivf_persisted_index(vectors, tmp_path):
+    from yargy_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    ds, vecs = vectors
+    idx = str(tmp_path / 'ivf')
+    man1 = build_ivf_index(ds, idx, num_lists=8, input_key='corpus-t')
+    assert sum(p['rows'] for p in man1['partitions']) == 300
+    # second build with the same fingerprint resumes from the manifest
+    man2 = build_ivf_index(ds, idx, num_lists=8, input_key='corpus-t')
+    assert man2['written_at'] == man1['written_at']
+    out = ivf_topk_indexed(idx, vecs[:1], k=5, nprobe=2)
+    assert out.num_rows == 5
+    # probing 2 of 8 lists must touch a strict subset of the index
+    import glob
+    import pyarrow.parquet as pq
+    sizes = {d: sum(pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(d + '/*.parquet'))
+             for d in glob.glob(idx + '/lists/ivf_list=*')}
+    assert min(sizes.values()) < 300
+
+
 def test_embedding_near_dups(vectors):
     from yargy_ray.stages.dedup import embedding_near_dups
     ds, _ = vectors

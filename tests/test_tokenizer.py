@@ -1,3 +1,8 @@
+# CONFORMANCE CORPUS — intentionally mirrors the reference test
+# file natasha/yargy v0.16.0 tests/test_tokenizer.py (token-stream goldens).
+# The fixtures ARE the public conformance surface this engine is
+# pinned to (SURVEY.md §5); the implementation under test is a
+# from-scratch reimplementation, not a copy.
 """Tokenizer conformance (reference: tests/test_tokenizer.py)."""
 
 import pytest

@@ -5,14 +5,17 @@
   does one numpy matmul; per-batch top-k partials are merged with one
   tiny reduce. This is the correctness baseline and the oracle-checked
   path.
-* ``ivf_topk`` — IVF scale path: k-means centroids trained on a sample,
-  vectors assigned to lists (one shuffle), queries probe ``nprobe``
-  nearest lists only. Approximate; recall reported vs brute force.
+* ``build_ivf_index`` / ``ivf_topk_indexed`` — IVF scale path: k-means
+  centroids trained on a sample, vectors written ONCE as parquet
+  partitioned by nearest list (manifest-checkpointed, resumable);
+  queries read only the ``nprobe`` probed list partitions from storage
+  — never a full scan. ``ivf_topk`` wraps build-or-reuse + query.
 """
 
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -139,31 +142,86 @@ class IVFAssigner:
         return batch.append_column('ivf_list', pa.array(lists))
 
 
-def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4, concurrency=(1, 4)):
-    """Approximate top-k: probe only the nprobe nearest inverted lists."""
+def build_ivf_index(emb_ds, index_dir, num_lists=16, sample=4096, iters=10,
+                    seed=3, concurrency=(1, 4), input_key='', resume=True):
+    """Checkpointed IVF index build (manifest-gated, resumable).
+
+    Writes under ``index_dir``:
+    * ``centroids.parquet`` — the trained list centroids (tiny),
+    * ``lists/ivf_list=N/*.parquet`` — vectors partitioned by nearest
+      centroid (ONE assignment pass over the dataset),
+    * ``_MANIFEST.json`` — per-list row counts + input fingerprint.
+
+    A rerun with the same ``input_key`` + params skips the build, so
+    queries never pay assignment again — this is what makes ivf_topk an
+    actual index instead of a per-call full scan.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
     import ray
+
+    from yargy_ray.state.manifests import fingerprint, run_stage
+
+    fp = fingerprint('ivf', input_key, num_lists, sample, iters, seed)
+
+    def produce(out_dir):
+        centroids = train_centroids(emb_ds, num_lists, sample, iters, seed)
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                'list_id': pa.array(np.arange(len(centroids)),
+                                    type=pa.int64()),
+                'centroid': pa.array([c.tolist() for c in centroids],
+                                     type=pa.list_(pa.float32())),
+            }),
+            os.path.join(out_dir, 'centroids.parquet'))
+        centroids_ref = ray.put(centroids)
+        assigned = emb_ds.map_batches(
+            IVFAssigner,
+            fn_constructor_kwargs={'centroids_ref': centroids_ref},
+            batch_format='pyarrow', concurrency=concurrency)
+        lists_dir = os.path.join(out_dir, 'lists')
+        assigned.write_parquet(lists_dir, partition_cols=['ivf_list'])
+        parts = []
+        for d in sorted(glob.glob(os.path.join(lists_dir, 'ivf_list=*'))):
+            rows = sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in glob.glob(os.path.join(d, '*.parquet')))
+            parts.append({'partition_id': int(d.rsplit('=', 1)[1]),
+                          'rows': rows})
+        return parts
+
+    return run_stage('ivf_index', index_dir, fp, produce, resume=resume)
+
+
+def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
+                     concurrency=(1, 4)):
+    """Approximate top-k over a PERSISTED IVF index: only the ``nprobe``
+    nearest list partitions are read from storage (partition-pruned
+    ``read_parquet``), never the full dataset."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    cent = pq.read_table(os.path.join(index_dir, 'centroids.parquet'))
+    centroids = np.asarray(cent.column('centroid').to_pylist(),
+                           dtype=np.float32)
     queries = _unit(np.asarray(queries, dtype=np.float32))
-    centroids = train_centroids(emb_ds, num_lists)
-    centroids_ref = ray.put(centroids)
-
-    assigned = emb_ds.map_batches(
-        IVFAssigner,
-        fn_constructor_kwargs={'centroids_ref': centroids_ref},
-        batch_format='pyarrow', concurrency=concurrency)
-
     probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(l) for row in probe_lists for l in row})
-
-    def keep_probed(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return batch.filter(pc.is_in(
-            batch.column('ivf_list'),
-            value_set=pa.array(wanted, type=pa.int64())))
-
-    filtered = assigned.map_batches(keep_probed, batch_format='pyarrow')
+    wanted = sorted({int(li) for row in probe_lists for li in row})
+    import glob
+    files = []
+    for li in wanted:
+        files.extend(sorted(glob.glob(os.path.join(
+            index_dir, 'lists', f'ivf_list={li}', '*.parquet'))))
+    if not files:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [('query_id', pa.int64()), ('rank', pa.int64()),
+             ('vec_id', pa.int64()), ('cosine', pa.float64())]))
+    probed = ray.data.read_parquet(files, columns=['vec_id', 'embedding'])
 
     queries_ref = ray.put(queries)
-    partials = filtered.map_batches(
+    partials = probed.map_batches(
         BatchTopK,
         fn_constructor_kwargs={'queries_ref': queries_ref, 'k': k},
         batch_format='pyarrow', batch_size=4096, concurrency=concurrency)
@@ -172,3 +230,36 @@ def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4, concurrency=(1, 4)):
         schema=pa.schema([('query_id', pa.int64()), ('vec_id', pa.int64()),
                           ('cosine', pa.float64())]))
     return pa.Table.from_pylist(merge_topk(table, k))
+
+
+def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4,
+             concurrency=(1, 4), index_dir=None, input_key=None):
+    """Approximate top-k: build (or reuse) the persisted IVF index, then
+    read only the probed list partitions.
+
+    ``input_key`` identifies the input corpus for checkpoint reuse
+    (e.g. the sf dir); without it the index is rebuilt fresh under a
+    private temp dir (tests / ad-hoc datasets).
+    """
+    import shutil
+    import tempfile
+
+    fresh = index_dir is None and input_key is None
+    if index_dir is None:
+        if input_key is not None:
+            from yargy_ray.state.manifests import fingerprint
+            index_dir = os.path.join(
+                tempfile.gettempdir(), 'yargy_ray_cache',
+                f'ivf_{fingerprint(input_key, num_lists)}')
+        else:
+            index_dir = tempfile.mkdtemp(prefix='yargy_ray_ivf_')
+    try:
+        build_ivf_index(emb_ds, index_dir, num_lists=num_lists,
+                        concurrency=concurrency,
+                        input_key=input_key or index_dir,
+                        resume=not fresh)
+        return ivf_topk_indexed(index_dir, queries, k=k, nprobe=nprobe,
+                                concurrency=concurrency)
+    finally:
+        if fresh:
+            shutil.rmtree(index_dir, ignore_errors=True)
