@@ -37,10 +37,51 @@ def test_inflect(morph):
 
 
 def test_oov(morph):
+    # OOV Cyrillic words get suffix-GUESSED readings (the reference's
+    # pymorphy2 parses everything — morph.py:118-130); lemma stays the
+    # lowercased surface so normalized()/dictionary() behavior is stable
     forms = morph('абракадабрище')
-    assert len(forms) == 1
     assert forms[0].normalized == 'абракадабрище'
+    assert any('NOUN' in f.grams for f in forms)
+    # non-Cyrillic OOV keeps the single gram-less reading
+    forms = morph('xyzzy')
+    assert len(forms) == 1
     assert not forms[0].grams.values
+
+
+def test_oov_guesser_shapes(morph):
+    assert any('INFN' in f.grams for f in morph('флуктуировать'))
+    assert any('ADJF' in f.grams and 'femn' in f.grams
+               for f in morph('квазислучайная'))
+    assert any('plur' in f.grams and 'ablt' in f.grams
+               for f in morph('глокими'))
+    # the guesser NEVER invents proper-noun readings
+    assert all('Name' not in f.grams and 'Surn' not in f.grams
+               for f in morph('бармаглотов'))
+
+
+def test_generated_declensions(morph):
+    # generated frequent-lemma paradigms resolve inflected forms to
+    # the right lemma with full grammemes
+    assert any(f.normalized == 'бюджет' and 'NOUN' in f.grams
+               and 'gent' in f.grams for f in morph('бюджета'))
+    assert any(f.normalized == 'встреча' and 'loct' in f.grams
+               for f in morph('встрече'))
+    assert any(f.normalized == 'решение' and 'plur' in f.grams
+               for f in morph('решения'))
+    assert any(f.normalized == 'компания' and 'accs' in f.grams
+               for f in morph('компанию'))
+    assert any(f.normalized == 'новость' and 'ablt' in f.grams
+               for f in morph('новостью'))
+    assert any(f.normalized == 'рабочий' and 'femn' in f.grams
+               for f in morph('рабочая'))
+    assert any(f.normalized == 'последний' and 'ADJF' in f.grams
+               for f in morph('последнюю'))
+    assert any(f.normalized == 'подтвердить' and 'past' in f.grams
+               for f in morph('подтвердила'))
+    # inflection works through generated paradigms
+    form = next(f for f in morph('бюджета') if f.normalized == 'бюджет')
+    assert form.inflect({'nomn', 'sing'}) == 'бюджет'
 
 
 def test_check_gram(morph):

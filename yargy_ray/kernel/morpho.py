@@ -8,9 +8,12 @@ and ``Form.inflect(grams)`` re-inflecting the lemma to target grammemes.
 Two implementations:
 
 * :class:`LexiconAnalyzer` — deterministic embedded paradigm table
-  (``lexicon.py``); the default in this sandbox. Out-of-vocabulary words
-  get a single gram-less reading whose lemma is the lowercased surface
-  (mirrors pymorphy2's guesser in the "unknown word" limit).
+  (``lexicon.py`` conformance vocabulary + ``declensions.py`` generated
+  frequent-lemma paradigms); the default in this sandbox.
+  Out-of-vocabulary Cyrillic words get suffix-GUESSED readings (POS +
+  case/number from the ending, lemma = lowercased surface) mirroring
+  pymorphy2's predictor, which parses everything (ref morph.py:118-130);
+  non-Cyrillic OOV keeps a single gram-less reading.
 * :class:`Pymorphy2Analyzer` — thin adapter used automatically when
   pymorphy2 + dictionaries are importable (parity runs outside the sandbox).
 
@@ -27,6 +30,79 @@ from .lexicon import KNOWN_GRAMS, PARADIGMS
 from .records import Form, Grams
 
 CACHE_SIZE = 10000
+
+# ---------------------------------------------------------------------------
+# OOV suffix guesser (deterministic, pymorphy2-predictor-like)
+# ---------------------------------------------------------------------------
+
+_CYR = set('абвгдеёжзийклмнопрстуфхцчшщъыьэюя')
+
+_ADJ_ENDINGS = {
+    'ый': ['ADJF masc sing nomn', 'ADJF masc sing accs'],
+    'ий': ['ADJF masc sing nomn', 'ADJF masc sing accs'],
+    'ая': ['ADJF femn sing nomn'],
+    'яя': ['ADJF femn sing nomn'],
+    'ое': ['ADJF neut sing nomn', 'ADJF neut sing accs'],
+    'ее': ['ADJF neut sing nomn', 'ADJF neut sing accs'],
+    'ые': ['ADJF plur nomn', 'ADJF plur accs'],
+    'ого': ['ADJF masc sing gent', 'ADJF neut sing gent'],
+    'его': ['ADJF masc sing gent', 'ADJF neut sing gent'],
+    'ому': ['ADJF masc sing datv', 'ADJF neut sing datv'],
+    'ему': ['ADJF masc sing datv', 'ADJF neut sing datv'],
+    'ую': ['ADJF femn sing accs'],
+    'юю': ['ADJF femn sing accs'],
+    'ыми': ['ADJF plur ablt'],
+    'ими': ['ADJF plur ablt'],
+    'ых': ['ADJF plur gent', 'ADJF plur loct'],
+    'их': ['ADJF plur gent', 'ADJF plur loct'],
+    'ым': ['ADJF masc sing ablt', 'ADJF plur datv'],
+    'им': ['ADJF masc sing ablt', 'ADJF plur datv'],
+}
+
+_NOUN_ENDINGS = {
+    'ами': ['NOUN plur ablt'], 'ями': ['NOUN plur ablt'],
+    'ах': ['NOUN plur loct'], 'ях': ['NOUN plur loct'],
+    'ам': ['NOUN plur datv'], 'ям': ['NOUN plur datv'],
+    'ов': ['NOUN masc plur gent'], 'ев': ['NOUN masc plur gent'],
+    'ей': ['NOUN plur gent', 'NOUN femn sing ablt'],
+    'ом': ['NOUN masc sing ablt', 'NOUN neut sing ablt'],
+    'ем': ['NOUN masc sing ablt', 'NOUN neut sing ablt'],
+    'ой': ['NOUN femn sing ablt', 'NOUN femn sing gent'],
+    'у': ['NOUN sing datv', 'NOUN femn sing accs'],
+    'ю': ['NOUN sing datv', 'NOUN femn sing accs'],
+    'ы': ['NOUN femn sing gent', 'NOUN plur nomn'],
+    'и': ['NOUN femn sing gent', 'NOUN plur nomn'],
+    'е': ['NOUN sing loct', 'NOUN sing datv'],
+    'а': ['NOUN femn sing nomn', 'NOUN masc sing gent'],
+    'я': ['NOUN femn sing nomn', 'NOUN masc sing gent'],
+    'о': ['NOUN inan neut sing nomn', 'NOUN inan neut sing accs'],
+    'ь': ['NOUN sing nomn', 'NOUN sing accs'],
+}
+
+
+def guess_grams(word):
+    """Grammeme-set guesses for an OOV Cyrillic word, by suffix.
+
+    Returns a list of frozensets (possibly empty list = no guess).
+    Deliberately NEVER guesses Name/Surn/Abbr — proper-noun predicates
+    stay dictionary-gated so grammars cannot hallucinate persons.
+    """
+    if len(word) < 3 or not set(word) <= _CYR:
+        return []
+    if word.endswith('ться') or word.endswith('ть') or word.endswith('чь'):
+        return [frozenset({'INFN', 'impf'})]
+    for size in (3, 2):
+        suffix = word[-size:]
+        if suffix in _ADJ_ENDINGS:
+            return [frozenset(g.split()) for g in _ADJ_ENDINGS[suffix]]
+    for size in (3, 2, 1):
+        suffix = word[-size:]
+        if suffix in _NOUN_ENDINGS:
+            return [frozenset(g.split() + ['inan'])
+                    if 'inan' not in g and 'anim' not in g
+                    else frozenset(g.split())
+                    for g in _NOUN_ENDINGS[suffix]]
+    return [frozenset({'NOUN', 'inan', 'sing', 'nomn'})]
 
 
 class Paradigm:
@@ -55,8 +131,15 @@ class LexiconAnalyzer:
     """Deterministic embedded-lexicon analyzer."""
 
     def __init__(self, paradigms=None):
+        if paradigms is None:
+            from .declensions import generated_paradigms
+            hand = list(PARADIGMS)
+            hand_lemmas = {p[0] for p in hand}
+            # hand-written conformance paradigms win over generated ones
+            paradigms = hand + [p for p in generated_paradigms()
+                                if p[0] not in hand_lemmas]
         index = {}
-        for lemma, base, forms in (paradigms or PARADIGMS):
+        for lemma, base, forms in paradigms:
             cells = [(surface, base | grams) for surface, grams in forms]
             paradigm = Paradigm(lemma, cells)
             for surface, grams in cells:
@@ -72,8 +155,13 @@ class LexiconAnalyzer:
     def _parse_uncached(self, word):
         forms = self.index.get(word)
         if forms is None:
-            # OOV: single reading, lemma = lowercased surface, no grammemes.
-            forms = [Form(word, Grams(frozenset()))]
+            # OOV: suffix-guessed readings (lemma = lowercased surface);
+            # non-Cyrillic words keep one gram-less reading.
+            guessed = guess_grams(word)
+            if guessed:
+                forms = [Form(word, Grams(g)) for g in guessed]
+            else:
+                forms = [Form(word, Grams(frozenset()))]
         return forms
 
     def __call__(self, word):
