@@ -358,7 +358,8 @@ def q_emb_near_dups_exact(sf_dir):
 
 def q_minhash_pairs(sf_dir):
     from yargy_ray.stages.dedup import minhash_near_dups
-    return minhash_near_dups(_read(sf_dir, 'documents'), threshold=0.6)
+    return minhash_near_dups(_read(sf_dir, 'documents'), threshold=0.6,
+                             concurrency=_pool(cap=8))
 
 
 def q_simhash_pairs(sf_dir):

@@ -5,10 +5,11 @@ Scale shapes (these are the 100 TB workhorses):
 
 * exact: md5 key -> ONE hash-partitioned groupby; survivor = min doc_id
   (deterministic across runs/cluster sizes).
-* MinHash+LSH: per-doc signature (vectorized numpy) -> flat_map to
-  (band_id, band_hash) bucket keys -> groupby buckets -> candidate
-  pairs verified by true shingle-Jaccard INSIDE the group; only bucket
-  rows shuffle, never the documents.
+* MinHash+LSH: per-doc signature (vectorized numpy) -> band rows
+  carrying a compact b-bit signature -> ONE bucket exchange ->
+  estimated-Jaccard verification INSIDE each bucket (vectorized
+  slot-equality); only 2.3 KB of band rows shuffle per doc, never the
+  documents.
 * SimHash: 64-bit signature; buckets on 4×16-bit chunks catch all pairs
   within Hamming distance 3 (pigeonhole), verified exactly in-group.
 * embedding near-dup: random-hyperplane LSH over the embedding column,
@@ -25,6 +26,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -143,19 +145,20 @@ class MinHasher:
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-class MinHashSigner:
-    """Actor: docs -> ONE row per doc with the packed signature and all
-    band bucket keys precomputed.
+class MinHashBander:
+    """Actor: docs -> (bucket, doc_id, sig16) band rows, vectorized.
 
-    Output schema: ``doc_id:int64, sig:binary(num_perm*8 bytes),
-    band_0..band_{bands-1}:int64``. Band hashing is vectorized over the
-    whole batch (a splitmix64 chain over the band's signature columns);
-    only the per-doc shingling loop remains, which is inherent to text.
+    ``sig16`` is the b-bit minwise signature (low 16 bits of each of the
+    ``num_perm`` min-hash values, packed little-endian — 128 B instead
+    of the full 512 B): slot-equality still estimates Jaccard, with an
+    upward collision bias of 2^-16 per slot (negligible at any usable
+    threshold). Band bucket keys hash the FULL 64-bit chunk values, so
+    bucketing precision is unchanged.
 
-    This replaces the old band-row emitter that shipped the FULL
-    64-perm signature on every one of 16 band rows (~8 KB shuffled per
-    doc). Band rows derived from this table carry 16 bytes each; the
-    signature crosses the wire once, in the verify join.
+    Per doc this ships bands x (16 B keys + 128 B sig) ~= 2.3 KB through
+    the ONE bucket exchange — 3.6x less than shipping the full signature
+    per band row — and verification stays in-bucket (no extra joins, no
+    candidate-pair explosion from loose bands).
     """
 
     def __init__(self, num_perm=64, bands=16, k=5, seed=7):
@@ -169,54 +172,41 @@ class MinHashSigner:
         texts = batch.column('text').to_pylist()
         n = len(texts)
         if n == 0:
-            cols = {'doc_id': pa.array([], type=pa.int64()),
-                    'sig': pa.array([], type=pa.binary())}
-            for b in range(self.bands):
-                cols[f'band_{b}'] = pa.array([], type=pa.int64())
-            return pa.table(cols)
+            return pa.table({
+                'bucket': pa.array([], type=pa.int64()),
+                'doc_id': pa.array([], type=pa.int64()),
+                'sig16': pa.array([], type=pa.binary()),
+            })
         mat = np.empty((n, self.hasher.num_perm), dtype=np.uint64)
         for i, text in enumerate(texts):
             mat[i] = self.hasher.signature(shingle_set(text, self.k))
-        cols = {
-            'doc_id': batch.column('doc_id'),
-            'sig': pa.array([row.tobytes() for row in mat],
-                            type=pa.binary()),
-        }
+        sig16 = mat.astype(np.uint16)            # low 16 bits per perm
+        sig_bytes = [row.tobytes() for row in sig16]
         rpb = self.rows_per_band
+        buckets = []
         for b in range(self.bands):
             h = np.full(n, np.uint64(b + 1) * _GOLDEN, dtype=np.uint64)
             for j in range(rpb):
                 h = _mix64(h ^ mat[:, b * rpb + j])
-            cols[f'band_{b}'] = pa.array(
-                (h >> np.uint64(1)).astype(np.int64), type=pa.int64())
-        return pa.table(cols)
+            buckets.append((h >> np.uint64(1)).astype(np.int64))
+        doc = pc.cast(batch.column('doc_id'), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            'bucket': pa.array(np.concatenate(buckets), type=pa.int64()),
+            'doc_id': pa.array(np.tile(doc, self.bands), type=pa.int64()),
+            'sig16': pa.array(sig_bytes * self.bands, type=pa.binary()),
+        })
 
 
-def _sig_matrix(arr, num_perm):
-    """binary signature column -> (n, num_perm) uint64 matrix.
-
-    Runs only over candidate-pair rows (small), so the per-row bytes
-    join is not a hot path.
-    """
+def _sig16_matrix(arr, num_perm):
+    """binary sig16 column -> (n, num_perm) uint16 matrix."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     data = b''.join(arr.to_pylist())
-    return np.frombuffer(data, dtype=np.uint64).reshape(-1, num_perm)
+    return np.frombuffer(data, dtype=np.uint16).reshape(-1, num_perm)
 
 
 MAX_BUCKET = 256  # hot-bucket cap: boilerplate shingles otherwise O(n^2)
-
-
-def _bucket_candidates(group: pa.Table) -> pa.Table:
-    """One bucket -> candidate (a, b) id pairs, capped at MAX_BUCKET
-    members (smallest doc_ids survive — deterministic)."""
-    ids = group.column('doc_id').to_numpy(zero_copy_only=False)
-    ids = np.sort(ids)[:MAX_BUCKET]
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pa.table({
-        'a': pa.array(ids[ii], type=pa.int64()),
-        'b': pa.array(ids[jj], type=pa.int64()),
-    })
 
 
 def _per_bucket(table: pa.Table, fn) -> pa.Table:
@@ -239,145 +229,56 @@ def _per_bucket(table: pa.Table, fn) -> pa.Table:
     return pa.concat_tables(outs)
 
 
+def _minhash_bucket_pairs(group: pa.Table, num_perm, threshold) -> pa.Table:
+    """In-bucket verification: pairwise estimated Jaccard = fraction of
+    equal b-bit signature slots, one broadcast compare (no Python pair
+    loop). Capped at MAX_BUCKET members, smallest doc_ids first."""
+    ids = group.column('doc_id').to_numpy(zero_copy_only=False)
+    if len(ids) < 2:
+        return pa.table({
+            'a': pa.array([], type=pa.int64()),
+            'b': pa.array([], type=pa.int64()),
+            'sim': pa.array([], type=pa.float64()),
+        })
+    order = np.argsort(ids)[:MAX_BUCKET]
+    mat = _sig16_matrix(group.column('sig16'), num_perm)[order]
+    sims = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+    ii, jj = np.triu_indices(len(order), k=1)
+    keep = sims[ii, jj] >= threshold
+    ids_sorted = ids[order]
+    return pa.table({
+        'a': pa.array(ids_sorted[ii[keep]], type=pa.int64()),
+        'b': pa.array(ids_sorted[jj[keep]], type=pa.int64()),
+        'sim': pa.array(sims[ii, jj][keep], type=pa.float64()),
+    })
+
+
 def minhash_near_dups(docs_ds, num_perm=64, bands=16, k=5, threshold=0.7,
                       num_partitions=64, concurrency=(1, 4)):
     """Near-dup pairs with estimated (signature) Jaccard >= threshold.
 
-    Dataflow (bytes per doc in parentheses, num_perm=64 / bands=16):
-
-    1. sign ONCE per doc (actor pool) -> narrow signature table
-       (8 B id + 512 B sig + 16x8 B precomputed band keys), materialized
-       because it feeds two branches — at warehouse scale this is the
-       parquet-checkpointed signature store, here Ray's object store.
-    2. band melt -> (bucket, doc_id) rows (16 B x bands shuffled).
-    3. bucket groupby -> candidate pairs, capped per hot bucket.
-    4. distinct pairs (groupby) -> verify join: each side of the pair
-       pulls its signature (sig crosses the exchange once per doc per
-       side), estimated Jaccard = mean equal slots, vectorized.
-
-    Old layout shipped sig on every band row (~8 KB/doc); this ships
-    ~0.25 KB of band rows + <=1 KB of join traffic per doc.
+    ONE bucket exchange: band rows carry the compact b-bit signature
+    (see MinHashBander), pairs are verified inside each bucket with a
+    vectorized slot-equality compare, and a small final groupby dedups
+    pairs that shared several buckets (keeping the max estimate).
     """
-    sigs = docs_ds.map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs={'num_perm': num_perm, 'bands': bands, 'k': k},
-        batch_format='pyarrow', concurrency=concurrency).materialize()
+    banded = docs_ds.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs={'num_perm': num_perm, 'bands': bands,
+                               'k': k},
+        batch_format='pyarrow', concurrency=concurrency)
 
-    pairs = _banded_candidates(sigs, bands, num_partitions)
-    verified = _verify_pairs_with_sigs(pairs, sigs, num_perm, num_partitions)
-
-    def score(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or 'sig_a' not in batch.column_names:
-            return pa.table({
-                'a': pa.array([], type=pa.int64()),
-                'b': pa.array([], type=pa.int64()),
-                'sim': pa.array([], type=pa.float64()),
-            })
-        sig_a = _sig_matrix(batch.column('sig_a'), num_perm)
-        sig_b = _sig_matrix(batch.column('sig_b'), num_perm)
-        sim = (sig_a == sig_b).mean(axis=1)
-        keep = sim >= threshold
-        return pa.table({
-            'a': batch.column('a').filter(pa.array(keep)),
-            'b': batch.column('b').filter(pa.array(keep)),
-            'sim': pa.array(sim[keep], type=pa.float64()),
-        })
-
-    return verified.map_batches(score, batch_format='pyarrow')
-
-
-def _banded_candidates(sigs, bands, num_partitions):
-    """Signature table -> distinct candidate (a, b) pairs via band
-    buckets. Band rows are 16 bytes; per-bucket pair emission is capped
-    and vectorized."""
     from yargy_ray.stages.exchange import partitioned_reduce
-
-    def melt(batch: pa.Table) -> pa.Table:
-        doc = batch.column('doc_id').to_numpy(zero_copy_only=False)
-        cols = [batch.column(f'band_{b}').to_numpy(zero_copy_only=False)
-                for b in range(bands)]
-        return pa.table({
-            'bucket': pa.array(np.concatenate(cols), type=pa.int64()),
-            'doc_id': pa.array(np.tile(doc, bands), type=pa.int64()),
-        })
-
-    band_rows = sigs.map_batches(melt, batch_format='pyarrow')
 
     def reduce_fn(table):
-        return _per_bucket(table, _bucket_candidates)
+        return _per_bucket(
+            table, lambda g: _minhash_bucket_pairs(g, num_perm, threshold))
 
-    cand = partitioned_reduce(band_rows, 'bucket', reduce_fn, num_partitions)
-    # a pair sharing multiple buckets is emitted once per bucket — dedup
-    distinct = cand.groupby(['a', 'b']).count()
-
-    def drop_count(batch: pa.Table) -> pa.Table:
-        return batch.select(['a', 'b'])
-
-    return distinct.map_batches(drop_count, batch_format='pyarrow')
-
-
-def _reduce_join_sig(pairs_ds, sigs_ds, key_col, carry, out_name,
-                     num_partitions):
-    """Reduce-side inner join: attach the signature of ``key_col``'s doc
-    to every pair row, as column ``out_name``.
-
-    Both sides are standardized to one union schema (key + carried pair
-    columns + sig + side flag), hash-partitioned ONCE on the key, and
-    joined per partition with an in-memory Arrow join — the engine's
-    partitioned_reduce exchange, no driver round-trip. ``carry`` maps
-    pair-side column name -> pyarrow type to ship through the exchange.
-    """
-    from yargy_ray.stages.exchange import partitioned_reduce
-
-    carry_items = list(carry.items())
-
-    def left_std(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cols = {'key': batch.column(key_col).cast(pa.int64())}
-        for name, typ in carry_items:
-            cols[name] = batch.column(name)
-        cols['sig'] = pa.nulls(n, pa.binary())
-        cols['side'] = pa.array(np.zeros(n, dtype=np.int8))
-        return pa.table(cols)
-
-    def right_std(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cols = {'key': batch.column('doc_id').cast(pa.int64())}
-        for name, typ in carry_items:
-            cols[name] = pa.nulls(n, typ)
-        cols['sig'] = batch.column('sig')
-        cols['side'] = pa.array(np.ones(n, dtype=np.int8))
-        return pa.table(cols)
-
-    union = pairs_ds.map_batches(left_std, batch_format='pyarrow').union(
-        sigs_ds.map_batches(right_std, batch_format='pyarrow'))
-
-    carry_names = [name for name, _ in carry_items]
-
-    def reduce_fn(part: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        side = part.column('side')
-        lt = part.filter(pc.equal(side, 0)).select(['key'] + carry_names)
-        rt = part.filter(pc.equal(side, 1)).select(['key', 'sig'])
-        # per-partition Arrow hash join (complete key groups by
-        # construction); dedupe the sig side defensively
-        joined = lt.join(rt, keys='key', join_type='inner')
-        names = [key_col if c == 'key' else (out_name if c == 'sig' else c)
-                 for c in joined.column_names]
-        return joined.rename_columns(names)
-
-    return partitioned_reduce(union, 'key', reduce_fn, num_partitions)
-
-
-def _verify_pairs_with_sigs(pairs, sigs, num_perm, num_partitions):
-    """Attach sig_a / sig_b to each candidate pair (two reduce-side
-    joins — the signature crosses an exchange once per doc per side)."""
-    sig_cols = sigs.select_columns(['doc_id', 'sig'])
-    j = _reduce_join_sig(pairs, sig_cols, 'a', {'b': pa.int64()},
-                         'sig_a', num_partitions)
-    return _reduce_join_sig(j, sig_cols, 'b',
-                            {'a': pa.int64(), 'sig_a': pa.binary()},
-                            'sig_b', num_partitions)
+    pairs = partitioned_reduce(banded, 'bucket', reduce_fn, num_partitions)
+    return (
+        pairs.groupby(['a', 'b']).max('sim')
+        .rename_columns({'max(sim)': 'sim'})
+    )
 
 
 # ---------------------------------------------------------------------------
