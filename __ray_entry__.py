@@ -447,6 +447,27 @@ def q_kg_mentions_docscope(sf_dir):
     return extract_document_mentions(docs, concurrency=_pool())
 
 
+def q_kg_mention_counts(sf_dir):
+    """Document-scope mention counts per (conv_id, rule): the per-turn ==
+    doc-scope invariant makes counts SQL-derivable (span arithmetic is
+    not needed), giving the docscope path a hash-level oracle."""
+    from yargy_ray.pipelines.documents import (
+        extract_document_mentions,
+        reconstruct_documents,
+    )
+    import ray.data
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(tpath)
+    docs = reconstruct_documents(turns, window=64)
+    mentions = extract_document_mentions(docs, concurrency=_pool())
+    counts = mentions.groupby(['conv_id', 'rule']).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return _rename(batch, {'count()': 'n_mentions'})
+
+    return counts.map_batches(rename, batch_format='pyarrow')
+
+
 def q_multimodal_features(sf_dir):
     import ray.data
     from yargy_ray.stages.multimodal import featurize_images, synth_media
@@ -491,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'kg_mentions_docscope': q_kg_mentions_docscope,
+        'kg_mention_counts': q_kg_mention_counts,
         'multimodal_features': q_multimodal_features,
     }
 
@@ -529,7 +551,8 @@ def _triples_cte():
             SELECT conv_id, turn_idx, text
             FROM read_parquet('{_transcript_glob()}')
         ), sents AS (
-            SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS turn_uid,
+            SELECT conv_id,
+                   conv_id || ':' || CAST(turn_idx AS VARCHAR) AS turn_uid,
                    UNNEST(STR_SPLIT(text, ' . ')) AS sent
             FROM turns
         ), trip AS (
@@ -845,6 +868,37 @@ def oracle_sql() -> dict[str, str]:
                    'POS:' || REPLACE(obj, ' ', '-') AS entity_id,
                    TRUE AS linked
             FROM trip WHERE pred = 'has_position'
+        """,
+        'kg_mention_counts': rf"""
+            WITH {_triples_cte()}, m AS (
+                SELECT conv_id,
+                       CASE
+                         WHEN REGEXP_MATCHES(sent,
+                             '^встреча \d+ [а-яё]+ \d+ в офисе$')
+                           OR REGEXP_MATCHES(sent,
+                             '^дедлайн \d{{4}}-\d{{2}}-\d{{2}} подтвержден$')
+                           THEN 'date'
+                         WHEN REGEXP_MATCHES(sent,
+                             '^бюджет составил \d+ (тысяч|миллионов)'
+                             || ' (рублей|долларов)$')
+                           OR REGEXP_MATCHES(sent, '^это стоит \d+ руб\.$')
+                           THEN 'money'
+                         WHEN REGEXP_MATCHES(sent,
+                             '^на встрече был [а-яё]+ [А-ЯЁ][а-яё]+'
+                             || ' [А-ЯЁ][а-яё]+$')
+                           THEN 'person'
+                         WHEN REGEXP_MATCHES(sent,
+                             '^согласно ст\. \d+ п\. \d+ договора$')
+                           THEN 'clause'
+                         WHEN REGEXP_MATCHES(sent,
+                             '^обсудили документ «[^»]+»$')
+                           THEN 'title'
+                       END AS rule
+                FROM sents
+            )
+            SELECT conv_id, rule, COUNT(*) AS n_mentions
+            FROM m WHERE rule IS NOT NULL
+            GROUP BY conv_id, rule
         """,
         'doc_reconstruct': f"""
             SELECT conv_id, COUNT(*) AS n_turns,

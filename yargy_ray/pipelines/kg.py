@@ -278,15 +278,25 @@ def _add_partition(ds, key_column, num_partitions):
 
 
 def _write_partitioned(ds, out_dir, key_column, num_partitions=16):
-    """Hash-partitioned parquet write; returns manifest partition rows."""
+    """Hash-partitioned parquet write; returns manifest partition rows.
+
+    Row counts come from the written files' parquet FOOTERS (metadata
+    only, no data read) — counting via a second ``ds.groupby`` would
+    re-execute the whole upstream pipeline a second time.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
     ds = _add_partition(ds, key_column, num_partitions)
     ds.write_parquet(out_dir, partition_cols=['part'])
-    # per-partition row counts for the manifest (small aggregate)
-    counts = ds.groupby('part').count().take_all()
-    return [
-        {'partition_id': int(row['part']), 'rows': int(row['count()'])}
-        for row in counts
-    ]
+    parts = []
+    for d in sorted(glob.glob(os.path.join(out_dir, 'part=*'))):
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(os.path.join(d, '*.parquet')))
+        parts.append({'partition_id': int(d.rsplit('=', 1)[1]),
+                      'rows': rows})
+    return parts
 
 
 def run_kg_pipeline(transcripts_path, out_root,
