@@ -586,6 +586,23 @@ class Parser:
             return match
         return None
 
+    def trees(self, text):
+        """All final parse trees, deterministic order (debug aid;
+        feeds ``kernel.dot.tree_as_dot``)."""
+        columns = self._chart(text)
+        return sorted(
+            ParseTree(s.node, (s.origin.index, s.column.index))
+            for s in self._final_states(columns)
+        )
+
+    def explain(self, text):
+        """Chart dump as text — the reference's chart pretty-printing
+        (parser.py:107-124): per column, its token and every Earley
+        state with a dotted production. Debug aid only."""
+        from .dot import chart_source
+        columns = self._chart(text)
+        return '\n'.join(chart_source(columns))
+
     def match(self, text):
         """Whole-string parse; best tree only."""
         columns = self._chart(text, everywhere=False)
