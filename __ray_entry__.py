@@ -335,6 +335,19 @@ def _planted_embeddings(sf_dir):
     return plant_duplicate_vectors(emb, n_planted=N_PLANTED)
 
 
+def q_emb_topk_ivf_full(sf_dir):
+    """IVF with nprobe == num_lists: probes every partition, so the
+    result must EXACTLY equal brute force — a hash-level oracle on the
+    whole index machinery (build, list partitioning, per-partition
+    top-k, merge). The nprobe<lists pruning path keeps its recall test
+    and the rows-only emb_topk_ivf query."""
+    from yargy_ray.stages.similarity import ivf_topk
+    queries = _query_vectors(sf_dir, 3)
+    out = ivf_topk(_read(sf_dir, 'embeddings'), queries, k=10,
+                   num_lists=8, nprobe=8, input_key=sf_dir + ':full')
+    return out.select(['query_id', 'rank', 'vec_id'])
+
+
 def q_emb_near_dups(sf_dir):
     """Multi-table hyperplane LSH near-dups. The synthetic embeddings are
     random (max natural cosine ~0.51), so exact copies of vec 0..7 are
@@ -501,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'tumbling_window': q_tumbling_window,
         'emb_topk': q_emb_topk,
         'emb_topk_ivf': q_emb_topk_ivf,
+        'emb_topk_ivf_full': q_emb_topk_ivf_full,
         'emb_near_dups': q_emb_near_dups,
         'emb_near_dups_exact': q_emb_near_dups_exact,
         'minhash_pairs': q_minhash_pairs,
@@ -784,6 +798,22 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM embeddings
             ORDER BY rank LIMIT 10
+        """,
+        'emb_topk_ivf_full': """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.qe) DESC,
+                           e.vec_id ASC) - 1 AS rank,
+                       e.vec_id
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, rank, vec_id FROM scored WHERE rank < 10
         """,
         'emb_near_dups_exact': f"""
             WITH aug AS (
