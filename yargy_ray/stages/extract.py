@@ -90,6 +90,7 @@ class MentionExtractor:
             gate = re.compile(spec.gate) if spec.gate else None
             self.parsers.append((spec, parser, gate))
         self._token_cache = {}
+        self._result_cache = {}
 
     def _tokenize(self, text):
         """Per-turn token list with a small LRU.
@@ -108,7 +109,20 @@ class MentionExtractor:
             self._token_cache[text] = cached
         return cached
 
-    def extract_turn(self, conv_id, turn_idx, text, out):
+    def _extract_text(self, text):
+        """All (rule, start, stop, tokens, fact_json) rows for one text.
+
+        Memoized per actor: extraction output is TEXT-INTRINSIC (spans,
+        rules and facts carry no conv/turn identity), and transcript
+        turns repeat heavily (~48% duplicate turns on the synthetic
+        corpus; acknowledgement/tool banter dominates real ones), so a
+        small LRU halves chart work — the reference's morph-LRU
+        philosophy applied one level up.
+        """
+        cached = self._result_cache.get(text)
+        if cached is not None:
+            return cached
+        rows = []
         tokens = None
         for spec, parser, gate in self.parsers:
             if gate is not None and gate.search(text) is None:
@@ -118,8 +132,8 @@ class MentionExtractor:
             try:
                 matches = list(parser.findall_tokens(tokens))
             except StateOverflow:
-                out.append((conv_id, turn_idx, CAPPED_RULE, 0, 0, [],
-                            json.dumps({'grammar': spec.name})))
+                rows.append((CAPPED_RULE, 0, 0, [],
+                             json.dumps({'grammar': spec.name})))
                 continue
             for match in matches:
                 try:
@@ -127,12 +141,20 @@ class MentionExtractor:
                 except TypeError:
                     # mixed-type interpretation — quarantine, don't fail
                     continue
-                out.append((
-                    conv_id, turn_idx, spec.name,
-                    match.span.start, match.span.stop,
+                rows.append((
+                    spec.name, match.span.start, match.span.stop,
                     [t.value for t in match.tokens],
                     json.dumps(payload, ensure_ascii=False, sort_keys=True),
                 ))
+        if len(self._result_cache) >= 4096:
+            self._result_cache.clear()
+        self._result_cache[text] = rows
+        return rows
+
+    def extract_turn(self, conv_id, turn_idx, text, out):
+        for rule, start, stop, tokens, payload in self._extract_text(text):
+            out.append((conv_id, turn_idx, rule, start, stop, tokens,
+                        payload))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids = batch.column('conv_id').to_pylist()
