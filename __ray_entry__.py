@@ -551,6 +551,62 @@ def _transcript_glob():
     return f'/tmp/yargy_ray_cache/transcripts_{name}_{n}/*.parquet'
 
 
+def _mulmod64_sql(x: str, c: int) -> str:
+    """SQL for ``(x * c) mod 2**64`` on HUGEINT operands.
+
+    A direct product of two 64-bit values overflows int128, so split x
+    into 32-bit halves: (lo*c + ((hi*c) mod 2**32) * 2**32) mod 2**64 —
+    every intermediate stays below 2**96.
+    """
+    m64 = "18446744073709551616::HUGEINT"
+    m32 = "4294967296"
+    return (f"((({x}) % {m32}) * {c} + "
+            f"(((({x}) // {m32}) * {c}) % {m32}) * {m32}) % {m64}")
+
+
+def _rfp_oracle_sql() -> str:
+    """DuckDB re-derivation of ``rolling_fingerprint_batch``: Horner
+    rolling hash over lowercased codepoint 16-grams (mod 2**64),
+    splitmix64 finalizer, min over windows, >> 1 (stages/text.py).
+    HUGEINT carries the wraparound arithmetic exactly."""
+    m64 = "18446744073709551616::HUGEINT"
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_transform(string_split(lower(text), ''),
+                                  c -> CAST(unicode(c) AS HUGEINT)) AS codes
+            FROM documents
+        ), p AS (
+            SELECT doc_id, codes, len(codes) AS n,
+                   LEAST(16, len(codes)) AS k FROM d
+        ), h0 AS (
+            SELECT doc_id, n,
+              CASE WHEN n = 0 THEN [CAST(0 AS HUGEINT)] ELSE
+                list_transform(range(1, n - k + 2), i ->
+                  list_reduce(codes[i : i + k - 1],
+                    (a, b) -> (a * 1099511628211 + b) % {m64}))
+              END AS hs FROM p
+        ), m1 AS (SELECT doc_id, n,
+                    list_transform(hs, x -> xor(x, x >> 30)) AS hs FROM h0),
+           m2 AS (SELECT doc_id, n,
+                    list_transform(hs, x ->
+                      {_mulmod64_sql('x', 0xBF58476D1CE4E5B9)}) AS hs
+                  FROM m1),
+           m3 AS (SELECT doc_id, n,
+                    list_transform(hs, x -> xor(x, x >> 27)) AS hs FROM m2),
+           m4 AS (SELECT doc_id, n,
+                    list_transform(hs, x ->
+                      {_mulmod64_sql('x', 0x94D049BB133111EB)}) AS hs
+                  FROM m3),
+           m5 AS (SELECT doc_id, n,
+                    list_transform(hs, x -> xor(x, x >> 31)) AS hs FROM m4)
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(list_min(hs) // 2 AS BIGINT) END AS rfp
+        FROM m5
+    """
+
+
 _MONTH_CASE = ' '.join(
     f"WHEN '{name}' THEN '{num:02d}'"
     for num, name in enumerate(
@@ -866,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
+        'rolling_fingerprint': _rfp_oracle_sql(),
         'kg_triples': f"""
             WITH {_triples_cte()}
             SELECT DISTINCT subj, pred, obj FROM trip
