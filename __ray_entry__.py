@@ -564,21 +564,22 @@ def _mulmod64_sql(x: str, c: int) -> str:
             f"(((({x}) // {m32}) * {c}) % {m32}) * {m32}) % {m64}")
 
 
-def _rfp_oracle_sql() -> str:
-    """DuckDB re-derivation of ``rolling_fingerprint_batch``: Horner
-    rolling hash over lowercased codepoint 16-grams (mod 2**64),
-    splitmix64 finalizer, min over windows, >> 1 (stages/text.py).
-    HUGEINT carries the wraparound arithmetic exactly."""
+def _gram_hash_ctes(k: int) -> str:
+    """CTE chain re-deriving ``char_gram_hashes(text, k)`` in DuckDB:
+    lowercased codepoints, Horner rolling hash per k-gram window
+    (mod 2**64), splitmix64 finalizer — final CTE ``m5`` yields
+    (doc_id, n, hs) with hs the mixed 64-bit gram-hash list. Shared by
+    the rolling_fingerprint and simhash oracles."""
     m64 = "18446744073709551616::HUGEINT"
     return f"""
-        WITH d AS (
+        d AS (
             SELECT doc_id,
                    list_transform(string_split(lower(text), ''),
                                   c -> CAST(unicode(c) AS HUGEINT)) AS codes
             FROM documents
         ), p AS (
             SELECT doc_id, codes, len(codes) AS n,
-                   LEAST(16, len(codes)) AS k FROM d
+                   LEAST({k}, len(codes)) AS k FROM d
         ), h0 AS (
             SELECT doc_id, n,
               CASE WHEN n = 0 THEN [CAST(0 AS HUGEINT)] ELSE
@@ -599,11 +600,151 @@ def _rfp_oracle_sql() -> str:
                       {_mulmod64_sql('x', 0x94D049BB133111EB)}) AS hs
                   FROM m3),
            m5 AS (SELECT doc_id, n,
-                    list_transform(hs, x -> xor(x, x >> 31)) AS hs FROM m4)
+                    list_transform(hs, x -> xor(x, x >> 31)) AS hs FROM m4)"""
+
+
+def _rfp_oracle_sql() -> str:
+    """DuckDB re-derivation of ``rolling_fingerprint_batch``
+    (stages/text.py): min over the mixed 16-gram hashes, >> 1."""
+    return f"""
+        WITH {_gram_hash_ctes(16)}
         SELECT doc_id,
                CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
                     ELSE CAST(list_min(hs) // 2 AS BIGINT) END AS rfp
         FROM m5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB re-derivation of ``simhash_near_dups(max_hamming=3)``
+    (stages/dedup.py): 64-bit SimHash over char 4-grams (per-bit ±1
+    sums with multiplicity), 4×16-bit pigeonhole chunk self-join with
+    the per-bucket 256 cap, exact Hamming verify via bit_count."""
+    m64 = "18446744073709551616::HUGEINT"
+    bitcols = ',\n                  '.join(
+        f"SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS acc{b}"
+        for b in range(64))
+    sigexpr = ' + '.join(
+        f"CASE WHEN acc{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64))
+    return f"""
+        WITH {_gram_hash_ctes(4)},
+           g AS (SELECT doc_id, UNNEST(hs) AS h FROM m5 WHERE n > 0),
+           acc AS (SELECT doc_id,
+                  {bitcols}
+                  FROM g GROUP BY doc_id),
+           sig AS (
+             SELECT a0.doc_id,
+                    COALESCE(({sigexpr}), 0::HUGEINT) AS s
+             FROM (SELECT doc_id FROM d) a0 LEFT JOIN acc USING (doc_id)
+           ), sig64 AS (
+             SELECT doc_id,
+                    CAST(CASE WHEN s >= {1 << 63}::HUGEINT
+                         THEN s - {m64} ELSE s END AS BIGINT) AS s
+             FROM sig
+           ), chunks AS (
+             SELECT doc_id, s, c,
+                    (s >> (16*c)) & 65535 AS chunk,
+                    ROW_NUMBER() OVER (
+                        PARTITION BY c, (s >> (16*c)) & 65535
+                        ORDER BY doc_id) AS rn
+             FROM sig64, UNNEST([0,1,2,3]) AS t(c)
+           ), cand AS (
+             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                    bit_count(xor(x.s, y.s)) AS hamming
+             FROM chunks x JOIN chunks y
+               ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+             WHERE x.rn <= 256 AND y.rn <= 256
+           )
+        SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3
+    """
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB re-derivation of ``minhash_near_dups(threshold=0.6)``
+    (stages/dedup.py): distinct char 5-gram hashes, 64 minwise values
+    ((a*x+b) wraps mod 2**64 FIRST, then mod 2**61-1, matching numpy
+    uint64 semantics), 16 band hashes via an unrolled splitmix64 fold
+    over each 4-perm chunk, per-bucket 256 cap, b-bit (low-16)
+    slot-equality similarity — all as chained vectorized CTE stages."""
+    import numpy as np
+    m64 = "18446744073709551616::HUGEINT"
+    p61 = "2305843009213693951"
+    rng = np.random.RandomState(7)          # MinHasher(seed=7)
+    perm_a = rng.randint(1, 2**61 - 1, size=64, dtype=np.uint64)
+    perm_b = rng.randint(0, 2**61 - 1, size=64, dtype=np.uint64)
+    golden = 0x9E3779B97F4A7C15
+    seed_case = ' '.join(
+        f"WHEN {b} THEN {((b + 1) * golden) % 2**64}::HUGEINT"
+        for b in range(16))
+    mincols = ',\n                  '.join(
+        f"MIN(((({int(perm_a[i])}::HUGEINT * x + {int(perm_b[i])})"
+        f" % {m64}) % {p61})) AS s{i}"
+        for i in range(64))
+    coal = ', '.join(f"COALESCE(s{i}, 0::HUGEINT)" for i in range(64))
+    fold, prev = [], 'band0'
+    for j in range(1, 5):
+        steps = [
+            f"xor(h, v{j})",
+            "xor(h, h >> 30)",
+            _mulmod64_sql('h', 0xBF58476D1CE4E5B9),
+            "xor(h, h >> 27)",
+            _mulmod64_sql('h', 0x94D049BB133111EB),
+            "xor(h, h >> 31)",
+        ]
+        for s, expr in enumerate(steps):
+            name = f"f{j}_{s}"
+            fold.append(
+                f"{name} AS (SELECT * REPLACE (({expr}) AS h) FROM {prev})")
+            prev = name
+    fold_sql = ',\n           '.join(fold)
+    return f"""
+        WITH {_gram_hash_ctes(5)},
+          sh AS (SELECT doc_id, UNNEST(list_distinct(hs)) AS x
+                 FROM m5 WHERE n > 0),
+          mins AS (SELECT doc_id,
+                  {mincols}
+                  FROM sh GROUP BY doc_id),
+          sig AS (
+            SELECT a0.doc_id, [{coal}] AS sig
+            FROM (SELECT doc_id FROM d) a0 LEFT JOIN mins USING (doc_id)
+          ),
+          band0 AS (
+            SELECT doc_id,
+                   list_transform(sig, s -> CAST(s % 65536 AS BIGINT))
+                       AS sig16,
+                   band,
+                   sig[4*band+1] AS v1, sig[4*band+2] AS v2,
+                   sig[4*band+3] AS v3, sig[4*band+4] AS v4,
+                   (CASE band {seed_case} END) AS h
+            FROM sig CROSS JOIN (SELECT UNNEST(range(0, 16)) AS band) bd
+          ),
+           {fold_sql},
+          banded AS (
+            -- Python buckets on (h >> 1) with the band seed already
+            -- folded into h; the 256 cap partitions by bucket VALUE
+            SELECT doc_id, sig16, CAST(h >> 1 AS BIGINT) AS bucket,
+                   ROW_NUMBER() OVER (PARTITION BY CAST(h >> 1 AS BIGINT)
+                                      ORDER BY doc_id) AS rn
+            FROM {prev}
+          ),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.sig16 AS sa, y.sig16 AS sb
+            FROM banded x JOIN banded y
+              ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+            WHERE x.rn <= 256 AND y.rn <= 256
+          ),
+          scored AS (
+            SELECT a, b,
+                   list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+                   / 64.0 AS sim
+            FROM cand
+          )
+        SELECT a, b, MAX(sim) AS sim FROM scored
+        WHERE sim >= 0.6 GROUP BY a, b
     """
 
 
@@ -923,6 +1064,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
         'rolling_fingerprint': _rfp_oracle_sql(),
+        'simhash_pairs': _simhash_oracle_sql(),
+        'minhash_pairs': _minhash_oracle_sql(),
         'kg_triples': f"""
             WITH {_triples_cte()}
             SELECT DISTINCT subj, pred, obj FROM trip
