@@ -1,0 +1,109 @@
+"""Differential tests: the DuckDB oracle SQL in __ray_entry__ must
+reproduce the Python stage outputs bit-for-bit on adversarial inputs —
+not just on the well-behaved synthetic corpora the driver uses.
+
+Covers the shared HUGEINT mod-2**64 arithmetic (_gram_hash_ctes /
+_mulmod64_sql) and the three hash-oracle pipelines built on it:
+rolling_fingerprint, simhash_pairs, minhash_pairs.
+"""
+
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+# empty text, sub-window text, 1 char, whitespace, exact dups, a
+# planted near-dup pair, mixed scripts, and non-BMP codepoints (the
+# utf-32 codepoint path must agree with DuckDB's unicode())
+ADVERSARIAL_TEXTS = [
+    '',
+    'a',
+    '   ',
+    'кот',                       # shorter than every window size
+    'Привет МИР! ' * 10,
+    'Привет МИР! ' * 10,          # exact duplicate -> sim 1.0 pair
+    'привет мир! ' * 10,          # case-folded duplicate
+    'the quick brown fox jumps over the lazy dog ' * 4,
+    'the quick brown fox jumps over the lazy dgo ' * 4,   # near-dup
+    'emoji 🎉🚀 and beyond-BMP 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 text here',
+    'ß ẞ SS ss',                 # lower() edge cases
+    'x' * 500,                   # degenerate: one repeated char
+]
+
+
+def _docs_table():
+    return pa.table({
+        'doc_id': pa.array(range(len(ADVERSARIAL_TEXTS)), type=pa.int64()),
+        'text': pa.array(ADVERSARIAL_TEXTS, type=pa.string()),
+    })
+
+
+def _run_oracle(sql, tbl):
+    con = duckdb.connect()
+    con.register('documents', tbl)
+    return con.sql(sql).df()
+
+
+def test_rolling_fingerprint_oracle_adversarial():
+    from yargy_ray.stages.text import rolling_fingerprint_batch
+    tbl = _docs_table()
+    py = rolling_fingerprint_batch(tbl).to_pandas().set_index('doc_id')
+    sql = _run_oracle(entrymod._rfp_oracle_sql(), tbl).set_index('doc_id')
+    assert len(py) == len(sql)
+    for doc_id in py.index:
+        assert py.loc[doc_id, 'rfp'] == sql.loc[doc_id, 'rfp'], doc_id
+
+
+def test_simhash_oracle_adversarial(ray_session):
+    import ray.data
+    from yargy_ray.stages.dedup import simhash_near_dups
+    tbl = _docs_table()
+    py = (simhash_near_dups(ray.data.from_arrow(tbl), max_hamming=3)
+          .to_pandas().sort_values(['a', 'b']).reset_index(drop=True))
+    sql = (_run_oracle(entrymod._simhash_oracle_sql(), tbl)
+           .sort_values(['a', 'b']).reset_index(drop=True))
+    # the dup/near-dup plants guarantee a non-trivial comparison
+    assert len(py) >= 1
+    assert py[['a', 'b', 'hamming']].equals(sql[['a', 'b', 'hamming']])
+
+
+def test_minhash_oracle_adversarial(ray_session):
+    import ray.data
+    from yargy_ray.stages.dedup import minhash_near_dups
+    tbl = _docs_table()
+    py = (minhash_near_dups(ray.data.from_arrow(tbl), threshold=0.6)
+          .to_pandas().sort_values(['a', 'b']).reset_index(drop=True))
+    sql = (_run_oracle(entrymod._minhash_oracle_sql(), tbl)
+           .sort_values(['a', 'b']).reset_index(drop=True))
+    assert len(py) >= 1
+    assert list(py['a']) == list(sql['a'])
+    assert list(py['b']) == list(sql['b'])
+    assert (py['sim'] - sql['sim']).abs().max() == 0.0
+
+
+@pytest.mark.parametrize('text', ADVERSARIAL_TEXTS[:1] + ADVERSARIAL_TEXTS[3:5])
+def test_gram_hash_cte_matches_numpy(text):
+    """The shared CTE chain == char_gram_hashes for each window size."""
+    import numpy as np
+    from yargy_ray.stages.dedup import char_gram_hashes
+    for k in (4, 5, 16):
+        tbl = pa.table({'doc_id': pa.array([0], type=pa.int64()),
+                        'text': pa.array([text], type=pa.string())})
+        con = duckdb.connect()
+        con.register('documents', tbl)
+        rows = con.sql(
+            f"WITH {entrymod._gram_hash_ctes(k)} "
+            "SELECT hs FROM m5").fetchall()
+        got = [int(v) % 2**64 for v in rows[0][0]]
+        exp = [int(v) for v in char_gram_hashes(text, k)]
+        if not text:
+            # SQL pads empty text with a [0] sentinel; Python returns []
+            assert got == [0] and exp == []
+        else:
+            assert got == exp, (k, text)
