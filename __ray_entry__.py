@@ -386,6 +386,21 @@ def q_ngram_pairs(sf_dir):
                               threshold=0.5)
 
 
+def q_asof_purchase(sf_dir):
+    """As-of join: each click event annotated with the same user's
+    latest prior (or simultaneous) purchase value — one co-partitioning
+    exchange + vectorized per-partition merge (stages/joins.py)."""
+    from yargy_ray.stages.joins import asof_join
+    events = _read(sf_dir, 'events')
+    clicks = (events.filter(expr="event_type == 'click'")
+              .select_columns(['event_id', 'user_id', 'ts']))
+    purchases = (events.filter(expr="event_type == 'purchase'")
+                 .select_columns(['user_id', 'ts', 'value'])
+                 .groupby(['user_id', 'ts']).sum('value')
+                 .rename_columns({'sum(value)': 'purchase_value'}))
+    return asof_join(clicks, purchases, by='user_id', on='ts', suffix='')
+
+
 def q_rolling_fingerprint(sf_dir):
     from yargy_ray.stages.text import rolling_fingerprints
     return rolling_fingerprints(_read(sf_dir, 'documents'))
@@ -521,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'simhash_pairs': q_simhash_pairs,
         'ngram_pairs': q_ngram_pairs,
         'rolling_fingerprint': q_rolling_fingerprint,
+        'asof_purchase': q_asof_purchase,
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
         'kg_linked': q_kg_linked,
@@ -1064,6 +1080,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
         'rolling_fingerprint': _rfp_oracle_sql(),
+        'asof_purchase': """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), r AS (
+                SELECT user_id, ts, SUM(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts, r.purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         'simhash_pairs': _simhash_oracle_sql(),
         'minhash_pairs': _minhash_oracle_sql(),
         'kg_triples': f"""

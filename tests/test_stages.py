@@ -261,3 +261,37 @@ def test_entity_linking(ray_session):
     out2 = {r['obj']: r['entity_id'] for r in
             link_entities(ds, ref, column='obj').iter_rows()}
     assert out2['директором'] == 'POS:director'
+
+
+def test_asof_join(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from yargy_ray.stages.joins import asof_join
+
+    left = ray.data.from_items([
+        {'id': 1, 'user': 7, 't': 10},
+        {'id': 2, 'user': 7, 't': 25},
+        {'id': 3, 'user': 8, 't': 5},    # before any right row -> null
+        {'id': 4, 'user': 9, 't': 50},   # user with no right rows
+    ])
+    right = ray.data.from_items([
+        {'user': 7, 't': 10, 'v': 1.5},  # exact-ts match counts
+        {'user': 7, 't': 20, 'v': 2.5},
+        {'user': 8, 't': 30, 'v': 9.0},
+    ])
+    out = (asof_join(left, right, by='user', on='t', num_partitions=4)
+           .to_pandas().sort_values('id').reset_index(drop=True))
+    assert list(out.columns) == ['id', 'user', 't', 'v_r']
+    assert list(out['id']) == [1, 2, 3, 4]
+    assert out.loc[0, 'v_r'] == 1.5          # inclusive backward
+    assert out.loc[1, 'v_r'] == 2.5
+    assert pd.isna(out.loc[2, 'v_r'])
+    assert pd.isna(out.loc[3, 'v_r'])
+
+    fwd = (asof_join(left, right, by='user', on='t',
+                     direction='forward', num_partitions=4)
+           .to_pandas().sort_values('id').reset_index(drop=True))
+    assert fwd.loc[0, 'v_r'] == 1.5          # inclusive forward
+    assert pd.isna(fwd.loc[1, 'v_r'])        # nothing at t >= 25
+    assert fwd.loc[2, 'v_r'] == 9.0

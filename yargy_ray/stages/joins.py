@@ -5,9 +5,14 @@
   local store; the big side streams through ``map_batches`` with a
   vectorized dictionary lookup. No shuffle at all — the right tool
   whenever one side fits in a worker (dimension tables, gazetteers).
-* For big-big joins the engine composes groupby-cogroup manually; at
-  this round the KG pipeline needs none (dedup/canonicalization are
-  groupbys), so broadcast is the only join shipped.
+* ``asof_join`` — big-big temporal join Ray Data lacks natively:
+  both sides are tagged and UNIONed so a SINGLE hash exchange on the
+  ``by`` key co-partitions them, then each partition runs a vectorized
+  ``merge_asof``. Partitioning assumption: all rows of one ``by`` key
+  fit in one partition (same contract as the dedup family).
+* For other big-big joins the engine composes groupby-cogroup
+  manually; the KG pipeline needs none (dedup/canonicalization are
+  groupbys).
 """
 
 from __future__ import annotations
@@ -59,3 +64,90 @@ def broadcast_join(big_ds, small_ds, big_key, small_key, columns,
         batch_format='pyarrow',
         concurrency=concurrency,
     )
+
+
+def asof_join(left_ds, right_ds, by, on, direction='backward',
+              suffix='_r', num_partitions=64):
+    """Big-big as-of join: for each left row, attach the latest right
+    row with the same ``by`` key and ``right.on <= left.on``
+    ('backward'; 'forward' takes the earliest ``right.on >= left.on``).
+
+    Ray Data has no as-of join; expressing it as a composition: both
+    sides are tagged and UNIONed so ONE hash exchange on ``by``
+    co-partitions them (same partition key, same shuffle — never two),
+    then each partition runs pandas ``merge_asof`` — a vectorized
+    sorted merge, O((l+r) log(l+r)) per partition with no per-key UDF
+    calls. Right-side (by, on) pairs must be unique (pre-aggregate
+    ties); ``by`` must be a non-negative integer key (the exchange
+    contract of stages/exchange.py).
+
+    Scale shape: the only data movement is the single co-partitioning
+    exchange; skewed ``by`` keys bound partition size the same way the
+    dedup family does. At 100 TB both sides stream block-wise into the
+    exchange and partitions reduce independently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_names = list(left_schema.names)
+    right_vals = [n for n in right_schema.names if n not in (by, on)]
+    val_fields = [
+        pa.field(n + suffix,
+                 right_schema.base_schema.field(n).type
+                 if hasattr(right_schema, 'base_schema')
+                 else right_schema.field(n).type)
+        for n in right_vals
+    ]
+    lf = [pa.field(n, left_schema.base_schema.field(n).type
+                   if hasattr(left_schema, 'base_schema')
+                   else left_schema.field(n).type) for n in left_names]
+    out_schema = pa.schema(lf + val_fields)
+    union_schema = pa.schema(lf + [pa.field('__side', pa.int8())]
+                             + val_fields)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [batch.column(name) for name in left_names]
+        cols.append(pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()))
+        cols.extend(pa.nulls(n, type=f.type) for f in val_fields)
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for name in left_names:
+            if name in (by, on):
+                cols.append(batch.column(name))
+            else:
+                cols.append(pa.nulls(
+                    n, type=union_schema.field(name).type))
+        cols.append(pa.array(np.ones(n, dtype=np.int8), type=pa.int8()))
+        cols.extend(batch.column(n_) for n_ in right_vals)
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format='pyarrow')
+              .union(right_ds.map_batches(tag_right,
+                                          batch_format='pyarrow')))
+
+    val_names = [f.name for f in val_fields]
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        left = (df[df['__side'] == 0]
+                .drop(columns=['__side'] + val_names)
+                .sort_values([on], kind='mergesort'))
+        right = (df[df['__side'] == 1][[by, on] + val_names]
+                 .sort_values([on], kind='mergesort'))
+        if len(left) == 0:
+            return out_schema.empty_table()
+        merged = pd.merge_asof(left, right, on=on, by=by,
+                               direction=direction)
+        return pa.Table.from_pandas(
+            merged[left_names + val_names], schema=out_schema,
+            preserve_index=False)
+
+    return partitioned_reduce(tagged, by, reduce_fn, num_partitions)
