@@ -401,6 +401,32 @@ def q_asof_purchase(sf_dir):
     return asof_join(clicks, purchases, by='user_id', on='ts', suffix='')
 
 
+def q_session_assign(sf_dir):
+    """Range join: every event assigned to the session interval that
+    contains it (sessions are disjoint per user, so interval_join's
+    asof-reduction applies; see stages/joins.py)."""
+    from yargy_ray.stages.joins import interval_join
+    from yargy_ray.stages.windows import sessionize
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'user_id': batch.column('user_id'),
+            'event_id': batch.column('event_id'),
+            'ts': batch.column('ts'),
+            'value': pc.cast(_cents(batch.column('value')), pa.float64()),
+        })
+
+    events = _read(sf_dir, 'events')
+    sessions = (sessionize(events.map_batches(prep, batch_format='pyarrow'))
+                .select_columns(['user_id', 'session_id',
+                                 'start_ts', 'end_ts']))
+    left = events.select_columns(['event_id', 'user_id', 'ts'])
+    joined = interval_join(left, sessions, by='user_id', on='ts',
+                           start='start_ts', stop='end_ts', suffix='')
+    return joined.select_columns(['event_id', 'user_id', 'ts',
+                                  'session_id'])
+
+
 def q_rolling_fingerprint(sf_dir):
     from yargy_ray.stages.text import rolling_fingerprints
     return rolling_fingerprints(_read(sf_dir, 'documents'))
@@ -537,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'ngram_pairs': q_ngram_pairs,
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
+        'session_assign': q_session_assign,
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
         'kg_linked': q_kg_linked,
@@ -992,6 +1019,29 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts,
                    CAST(SUM(cents) AS BIGINT) AS sum_value_cents
             FROM numbered GROUP BY user_id, session_id
+        """,
+        'session_assign': """
+            WITH marked AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                                 OR LAG(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+                FROM marked
+            ), sessions AS (
+                SELECT user_id, session_id,
+                       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+                FROM numbered GROUP BY user_id, session_id
+            )
+            SELECT e.event_id, e.user_id, e.ts, s.session_id
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+                 AND e.ts BETWEEN s.start_ts AND s.end_ts
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,

@@ -295,3 +295,26 @@ def test_asof_join(ray_session):
     assert fwd.loc[0, 'v_r'] == 1.5          # inclusive forward
     assert pd.isna(fwd.loc[1, 'v_r'])        # nothing at t >= 25
     assert fwd.loc[2, 'v_r'] == 9.0
+
+
+def test_interval_join(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.joins import interval_join
+
+    left = ray.data.from_items([
+        {'id': 1, 'k': 1, 't': 5},    # inside [0, 10]
+        {'id': 2, 'k': 1, 't': 10},   # inclusive stop
+        {'id': 3, 'k': 1, 't': 15},   # in the gap -> dropped
+        {'id': 4, 'k': 1, 't': 20},   # inclusive start of [20, 30]
+        {'id': 5, 'k': 2, 't': 5},    # key with no intervals -> dropped
+    ])
+    right = ray.data.from_items([
+        {'k': 1, 'lo': 0, 'hi': 10, 'label': 'a'},
+        {'k': 1, 'lo': 20, 'hi': 30, 'label': 'b'},
+    ])
+    out = (interval_join(left, right, by='k', on='t',
+                         start='lo', stop='hi', num_partitions=4)
+           .to_pandas().sort_values('id').reset_index(drop=True))
+    assert list(out['id']) == [1, 2, 4]
+    assert list(out['label_r']) == ['a', 'a', 'b']

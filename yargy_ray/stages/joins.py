@@ -151,3 +151,36 @@ def asof_join(left_ds, right_ds, by, on, direction='backward',
             preserve_index=False)
 
     return partitioned_reduce(tagged, by, reduce_fn, num_partitions)
+
+
+def interval_join(left_ds, right_ds, by, on, start, stop, suffix='_r',
+                  num_partitions=64):
+    """Range join: each left row inner-joined to the right interval
+    [start, stop] (inclusive) containing it, per ``by`` key.
+
+    Contract: right intervals are NON-OVERLAPPING per key (sessions,
+    validity windows) — then containment is exactly "as-of the latest
+    interval start, verified against its stop", so the operator reuses
+    ``asof_join``'s single co-partitioning exchange plus one vectorized
+    containment filter. Overlapping intervals need a different plan
+    (emit-all); not needed by any shipped pipeline.
+    """
+    import pyarrow.compute as pc
+
+    def start_as_on(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [on if c == start else c for c in batch.column_names])
+
+    joined = asof_join(
+        left_ds,
+        right_ds.map_batches(start_as_on, batch_format='pyarrow'),
+        by=by, on=on, suffix=suffix, num_partitions=num_partitions)
+    stop_col = stop + suffix
+
+    def keep_contained(batch: pa.Table) -> pa.Table:
+        mask = pc.and_kleene(
+            pc.is_valid(batch.column(stop_col)),
+            pc.greater_equal(batch.column(stop_col), batch.column(on)))
+        return batch.filter(pc.fill_null(mask, False))
+
+    return joined.map_batches(keep_contained, batch_format='pyarrow')
