@@ -386,6 +386,35 @@ def q_ngram_pairs(sf_dir):
                               threshold=0.5)
 
 
+def q_hopping_window(sf_dir):
+    """Sliding 3h windows hopping hourly over the events stream
+    (stages/windows.py:hopping_window; fan-out happens AFTER the
+    map-side combine so raw events are never amplified)."""
+    from yargy_ray.stages.windows import hopping_window
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'event_type': batch.column('event_type'),
+            'ts': batch.column('ts'),
+            'value': pc.cast(_cents(batch.column('value')), pa.float64()),
+        })
+
+    events = _read(sf_dir, 'events').map_batches(
+        prep, batch_format='pyarrow')
+    out = hopping_window(events, size_hours=3, hop_hours=1)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'event_type': batch.column('event_type'),
+            'window_start': batch.column('window_start'),
+            'n_events': batch.column('n_events'),
+            'sum_value_cents': pc.cast(batch.column('sum_value'),
+                                       pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format='pyarrow')
+
+
 def q_asof_purchase(sf_dir):
     """As-of join: each click event annotated with the same user's
     latest prior (or simultaneous) purchase value — one co-partitioning
@@ -563,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'ngram_pairs': q_ngram_pairs,
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
+        'hopping_window': q_hopping_window,
         'session_assign': q_session_assign,
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
@@ -1042,6 +1072,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN sessions s
               ON e.user_id = s.user_id
                  AND e.ts BETWEEN s.start_ts AND s.end_ts
+        """,
+        'hopping_window': """
+            WITH base AS (
+                SELECT event_type, DATE_TRUNC('hour', ts) AS hb,
+                       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), fan AS (
+                SELECT event_type,
+                       hb - (j * INTERVAL 1 HOUR) AS window_start, cents
+                FROM base, UNNEST([0, 1, 2]) AS t(j)
+            )
+            SELECT event_type, window_start, COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+            FROM fan GROUP BY event_type, window_start
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,

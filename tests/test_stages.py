@@ -318,3 +318,35 @@ def test_interval_join(ray_session):
            .to_pandas().sort_values('id').reset_index(drop=True))
     assert list(out['id']) == [1, 2, 4]
     assert list(out['label_r']) == ['a', 'a', 'b']
+
+
+def test_hopping_window(ray_session):
+    import numpy as np
+    import ray.data
+
+    base = np.datetime64('2024-01-01T00:00:00', 'us')
+    h = np.timedelta64(3600, 's')
+    events = ray.data.from_items([
+        {'event_type': 'click', 'ts': base + 0 * h, 'value': 1.0},
+        {'event_type': 'click', 'ts': base + 1 * h, 'value': 2.0},
+        {'event_type': 'click', 'ts': base + 5 * h, 'value': 4.0},
+    ])
+    from yargy_ray.stages.windows import hopping_window
+    out = (hopping_window(events, size_hours=3, hop_hours=1)
+           .to_pandas().sort_values('window_start').reset_index(drop=True))
+    # event at hour H lands in windows starting H-2, H-1, H
+    got = {(r.window_start.hour - 24 * (r.window_start.day - 1)
+            if r.window_start.day > 1 else r.window_start.hour
+            - (24 if r.window_start.year < 2024 else 0)): r.sum_value
+           for r in out.itertuples()}
+    # windows -2,-1 (from hour 0), 0: 1+2, 1: 2, 3: 4 (hour-5 event) ...
+    assert got[0] == 3.0 and got[1] == 2.0
+    assert got[3] == 4.0 and got[5] == 4.0
+
+    # hop > 1: 6h windows every 2h stay 2h-grid-aligned
+    out2 = (hopping_window(events, size_hours=6, hop_hours=2)
+            .to_pandas())
+    mins = {ws.minute for ws in out2['window_start']}
+    assert mins == {0}
+    assert all(ws.hour % 2 == 0 for ws in out2['window_start'])
+    assert out2['n_events'].sum() == 9   # 3 events x 3 windows each

@@ -117,3 +117,53 @@ def tumbling_window(events_ds, unit='hour'):
             batch.column('window_start').cast(pa.timestamp('us')))
 
     return out.map_batches(restore_unit, batch_format='pyarrow')
+
+
+def hopping_window(events_ds, size_hours=3, hop_hours=1):
+    """Sliding (hopping) windows: per (event_type, window_start) count
+    and value sum for windows of ``size_hours`` advancing every
+    ``hop_hours``. Only non-empty windows are emitted.
+
+    Scale shape: the map side first combines events into hop-aligned
+    bucket partials (the tumbling combine), THEN fans each partial into
+    size/hop shifted window rows — so the k-times row amplification
+    applies to the combined partials, never to raw events — and one
+    groupby merges. The exchange ships O(k * distinct buckets) rows.
+    """
+    if size_hours % hop_hours != 0:
+        raise ValueError('size_hours must be a multiple of hop_hours')
+    k = size_hours // hop_hours
+
+    hop_us = hop_hours * 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = _tumbling_partial(batch)
+        i = tbl.schema.get_field_index('window_start')
+        # re-align the hour partials to the hop grid (no-op for hop=1);
+        # distinct hours mapping to one hop bucket merge in the groupby
+        wi = pc.cast(tbl.column('window_start'), pa.int64())
+        quot = pc.divide(wi, pa.scalar(hop_us, pa.int64()))
+        ws = pc.cast(pc.multiply(quot, pa.scalar(hop_us, pa.int64())),
+                     pa.timestamp('us'))
+        shifted = []
+        for j in range(k):
+            delta = pa.scalar(j * hop_us, pa.duration('us'))
+            shifted.append(
+                tbl.set_column(i, 'window_start', pc.subtract(ws, delta)))
+        return pa.concat_tables(shifted)
+
+    out = (
+        events_ds.map_batches(partial, batch_format='pyarrow')
+        .groupby(['event_type', 'window_start'])
+        .sum(['n', 'sum_value'])
+        .rename_columns({'sum(n)': 'n_events',
+                         'sum(sum_value)': 'sum_value'})
+    )
+
+    def restore_unit(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index('window_start')
+        return batch.set_column(
+            i, 'window_start',
+            batch.column('window_start').cast(pa.timestamp('us')))
+
+    return out.map_batches(restore_unit, batch_format='pyarrow')
