@@ -106,6 +106,7 @@ def run_secondary(sf_dir):
         'lineitem_agg', 'revenue_by_nation', 'doc_quality',
         'doc_dup_groups', 'minhash_pairs', 'simhash_pairs',
         'emb_topk', 'sessionize', 'tumbling_window',
+        'asof_purchase', 'session_assign', 'hopping_window',
     ]
     queries = entrymod.queries()
     times = {}
