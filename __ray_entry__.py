@@ -386,6 +386,42 @@ def q_ngram_pairs(sf_dir):
                               threshold=0.5)
 
 
+def q_doc_split(sf_dir):
+    """Deterministic md5 train/val/test split over documents
+    (stages/sampling.py:hash_split) — stable under repartitioning and
+    cluster-size changes; SQL-checkable via md5_number_lower."""
+    from yargy_ray.stages.sampling import hash_split
+    docs = _read(sf_dir, 'documents').select_columns(['doc_id'])
+    return hash_split(docs, 'doc_id')
+
+
+def q_vocab_counts(sf_dir):
+    """Corpus vocabulary with global counts (map-side combine +
+    one token groupby; stages/text.py:vocab_counts)."""
+    from yargy_ray.stages.text import vocab_counts
+    return vocab_counts(_read(sf_dir, 'documents').select_columns(
+        ['text']), min_count=2)
+
+
+def q_topk_orders_per_cust(sf_dir):
+    """Top-3 orders by price per customer — partitioned-reduce top-k,
+    never one UDF call per group (stages/sampling.py)."""
+    from yargy_ray.stages.sampling import topk_per_group
+    ds = _read(sf_dir, 'orders').select_columns(
+        ['o_custkey', 'o_orderkey', 'o_totalprice'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_custkey': batch.column('o_custkey'),
+            'o_orderkey': batch.column('o_orderkey'),
+            'total_cents': _cents(batch.column('o_totalprice')),
+        })
+
+    return topk_per_group(
+        ds.map_batches(prep, batch_format='pyarrow'),
+        'o_custkey', 'total_cents', k=3, tiebreak='o_orderkey')
+
+
 def q_hopping_window(sf_dir):
     """Sliding 3h windows hopping hourly over the events stream
     (stages/windows.py:hopping_window; fan-out happens AFTER the
@@ -593,6 +629,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
         'hopping_window': q_hopping_window,
+        'doc_split': q_doc_split,
+        'vocab_counts': q_vocab_counts,
+        'topk_orders_per_cust': q_topk_orders_per_cust,
         'session_assign': q_session_assign,
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
@@ -1086,6 +1125,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, COUNT(*) AS n_events,
                    CAST(SUM(cents) AS BIGINT) AS sum_value_cents
             FROM fan GROUP BY event_type, window_start
+        """,
+        'doc_split': """
+            SELECT doc_id,
+                   CASE WHEN b < 900000 THEN 'train'
+                        WHEN b < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                              AS HUGEINT) % 1000000 AS b
+                  FROM documents)
+        """,
+        'vocab_counts': r"""
+            WITH toks AS (
+                SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS n FROM toks
+            WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 2
+        """,
+        'topk_orders_per_cust': """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey,
+                       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                           AS total_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5)
+                                         AS BIGINT) DESC,
+                                    o_orderkey ASC) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, total_cents
+            FROM ranked WHERE rn <= 3
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,

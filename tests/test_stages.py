@@ -350,3 +350,57 @@ def test_hopping_window(ray_session):
     assert mins == {0}
     assert all(ws.hour % 2 == 0 for ws in out2['window_start'])
     assert out2['n_events'].sum() == 9   # 3 events x 3 windows each
+
+
+def test_hash_split(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.sampling import hash_split
+
+    ds = ray.data.range(2000).map_batches(
+        lambda b: {'doc_id': b['id']}, batch_format='numpy')
+    out = hash_split(ds, 'doc_id').to_pandas()
+    frac = out['split'].value_counts(normalize=True)
+    assert 0.85 < frac['train'] < 0.95
+    assert 0.02 < frac['val'] < 0.09
+    assert 0.02 < frac['test'] < 0.09
+    # deterministic: re-running reproduces the exact assignment
+    again = hash_split(ds, 'doc_id').to_pandas()
+    assert out.sort_values('doc_id')['split'].tolist() == \
+        again.sort_values('doc_id')['split'].tolist()
+
+
+def test_topk_per_group(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.sampling import topk_per_group
+
+    rows = [{'g': i % 3, 'id': i, 'score': (i * 7) % 11}
+            for i in range(30)]
+    ds = ray.data.from_items(rows)
+    out = (topk_per_group(ds, 'g', 'score', k=2, tiebreak='id',
+                          num_partitions=4)
+           .to_pandas().sort_values(['g', 'score', 'id'],
+                                    ascending=[True, False, True]))
+    assert len(out) == 6
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    for g, grp in df.groupby('g'):
+        expect = grp.sort_values(['score', 'id'],
+                                 ascending=[False, True]).head(2)
+        got = out[out['g'] == g]
+        assert sorted(got['id']) == sorted(expect['id'])
+
+
+def test_vocab_counts(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.text import vocab_counts
+
+    ds = ray.data.from_items([
+        {'text': 'a b a  C'},
+        {'text': 'c a'},
+        {'text': '   '},
+    ])
+    out = vocab_counts(ds).to_pandas().set_index('token')['n'].to_dict()
+    assert out == {'a': 3, 'b': 1, 'c': 2}

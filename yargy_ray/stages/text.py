@@ -142,3 +142,36 @@ def rolling_fingerprints(docs_ds, window=16):
     def fn(batch):
         return rolling_fingerprint_batch(batch, window)
     return docs_ds.map_batches(fn, batch_format='pyarrow')
+
+
+def _vocab_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combine: per-batch token counts (lowercased whitespace
+    tokens, empties dropped) — the exchange ships one row per DISTINCT
+    token per batch, never one per occurrence."""
+    import pyarrow.compute as pc
+    toks = pc.list_flatten(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(batch.column('text'))),
+        r'\s+'))
+    toks = toks.filter(pc.not_equal(toks, ''))
+    counts = toks.value_counts()
+    return pa.table({
+        'token': counts.field('values'),
+        'n': counts.field('counts').cast(pa.int64()),
+    })
+
+
+def vocab_counts(docs_ds, min_count=1):
+    """Corpus-level vocabulary: (token, n) global counts.
+
+    Classic training-data op (tokenizer vocab building, stopword
+    mining). Map-side partial counts + ONE groupby-sum on the token;
+    at 100 TB the exchange carries per-batch distinct tokens only
+    (sub-linear in corpus size by Heaps' law).
+    """
+    import pyarrow.compute as pc
+    out = (docs_ds.map_batches(_vocab_partial, batch_format='pyarrow')
+           .groupby('token').sum('n')
+           .rename_columns({'sum(n)': 'n'}))
+    if min_count > 1:
+        out = out.filter(expr=f'n >= {min_count}')
+    return out
