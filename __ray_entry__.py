@@ -492,6 +492,16 @@ def q_session_assign(sf_dir):
                                   'session_id'])
 
 
+def q_dup_components(sf_dir):
+    """Near-dup CLUSTERS: distributed min-label propagation over the
+    SimHash pair table (stages/graph.py:connected_components) — the
+    step that turns pairwise dedup output into survivor groups."""
+    from yargy_ray.stages.dedup import simhash_near_dups
+    from yargy_ray.stages.graph import connected_components
+    pairs = simhash_near_dups(_read(sf_dir, 'documents'), max_hamming=3)
+    return connected_components(pairs, num_partitions=16)
+
+
 def q_rolling_fingerprint(sf_dir):
     from yargy_ray.stages.text import rolling_fingerprints
     return rolling_fingerprints(_read(sf_dir, 'documents'))
@@ -625,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'emb_near_dups_exact': q_emb_near_dups_exact,
         'minhash_pairs': q_minhash_pairs,
         'simhash_pairs': q_simhash_pairs,
+        'dup_components': q_dup_components,
         'ngram_pairs': q_ngram_pairs,
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
@@ -727,11 +738,9 @@ def _rfp_oracle_sql() -> str:
     """
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB re-derivation of ``simhash_near_dups(max_hamming=3)``
-    (stages/dedup.py): 64-bit SimHash over char 4-grams (per-bit ±1
-    sums with multiplicity), 4×16-bit pigeonhole chunk self-join with
-    the per-bucket 256 cap, exact Hamming verify via bit_count."""
+def _simhash_ctes() -> str:
+    """WITH-body (through CTE ``cand``) deriving the SimHash candidate
+    pairs; shared by the simhash_pairs and dup_components oracles."""
     m64 = "18446744073709551616::HUGEINT"
     bitcols = ',\n                  '.join(
         f"SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS acc{b}"
@@ -739,8 +748,7 @@ def _simhash_oracle_sql() -> str:
     sigexpr = ' + '.join(
         f"CASE WHEN acc{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
         for b in range(64))
-    return f"""
-        WITH {_gram_hash_ctes(4)},
+    return f"""{_gram_hash_ctes(4)},
            g AS (SELECT doc_id, UNNEST(hs) AS h FROM m5 WHERE n > 0),
            acc AS (SELECT doc_id,
                   {bitcols}
@@ -767,9 +775,39 @@ def _simhash_oracle_sql() -> str:
              FROM chunks x JOIN chunks y
                ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
              WHERE x.rn <= 256 AND y.rn <= 256
-           )
+           )"""
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB re-derivation of ``simhash_near_dups(max_hamming=3)``
+    (stages/dedup.py): 64-bit SimHash over char 4-grams (per-bit ±1
+    sums with multiplicity), 4×16-bit pigeonhole chunk self-join with
+    the per-bucket 256 cap, exact Hamming verify via bit_count."""
+    return f"""
+        WITH {_simhash_ctes()}
         SELECT a, b, CAST(hamming AS BIGINT) AS hamming
         FROM cand WHERE hamming <= 3
+    """
+
+
+def _dup_components_oracle_sql() -> str:
+    """Connected components over the SimHash near-dup pairs via a
+    recursive min-label walk (mirrors stages/graph.py)."""
+    return f"""
+        WITH RECURSIVE {_simhash_ctes()},
+           pairs AS (SELECT a, b FROM cand WHERE hamming <= 3),
+           edges AS (
+             SELECT a AS src, b AS dst FROM pairs
+             UNION ALL SELECT b, a FROM pairs
+           ),
+           verts AS (SELECT DISTINCT src AS node FROM edges),
+           walk(node, comp) AS (
+             SELECT node, node FROM verts
+             UNION
+             SELECT e.dst, w.comp
+             FROM walk w JOIN edges e ON e.src = w.node
+           )
+        SELECT node, MIN(comp) AS component FROM walk GROUP BY node
     """
 
 
@@ -1261,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         'simhash_pairs': _simhash_oracle_sql(),
+        'dup_components': _dup_components_oracle_sql(),
         'minhash_pairs': _minhash_oracle_sql(),
         'kg_triples': f"""
             WITH {_triples_cte()}

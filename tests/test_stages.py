@@ -404,3 +404,21 @@ def test_vocab_counts(ray_session):
     ])
     out = vocab_counts(ds).to_pandas().set_index('token')['n'].to_dict()
     assert out == {'a': 3, 'b': 1, 'c': 2}
+
+
+def test_connected_components(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = ray.data.from_items([
+        {'a': 2, 'b': 1}, {'a': 2, 'b': 3}, {'a': 3, 'b': 4},
+        {'a': 10, 'b': 11}, {'a': 11, 'b': 12}, {'a': 10, 'b': 12},
+        {'a': 21, 'b': 20},
+    ])
+    out = (connected_components(pairs, num_partitions=4)
+           .to_pandas().set_index('node')['component'].to_dict())
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
