@@ -107,3 +107,46 @@ def test_gram_hash_cte_matches_numpy(text):
             assert got == [0] and exp == []
         else:
             assert got == exp, (k, text)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_asof_join_matches_duckdb(ray_session, seed):
+    """Randomized differential: asof_join == DuckDB ASOF LEFT JOIN on
+    random keys/timestamps including ties and keys with no right rows."""
+    import numpy as np
+    import ray.data
+
+    from yargy_ray.stages.joins import asof_join
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 120, 60
+    left = pa.table({
+        'id': pa.array(range(nl), type=pa.int64()),
+        'k': pa.array(rng.randint(0, 8, nl), type=pa.int64()),
+        't': pa.array(rng.randint(0, 50, nl), type=pa.int64()),
+    })
+    # unique (k, t) on the right (operator contract)
+    pairs = {(int(k), int(t)) for k, t in
+             zip(rng.randint(0, 6, nr), rng.randint(0, 50, nr))}
+    ks, ts = zip(*sorted(pairs))
+    right = pa.table({
+        'k': pa.array(ks, type=pa.int64()),
+        't': pa.array(ts, type=pa.int64()),
+        'v': pa.array([float(10 * k + t % 7) for k, t in zip(ks, ts)]),
+    })
+    got = (asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     by='k', on='t', num_partitions=4)
+           .to_pandas().sort_values('id').reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register('l', left)
+    con.register('r', right)
+    exp = con.sql("""
+        SELECT l.id, l.k, l.t, r.v AS v_r
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t
+        ORDER BY l.id
+    """).df().reset_index(drop=True)
+    assert got['id'].tolist() == exp['id'].tolist()
+    import pandas as pd
+    pd.testing.assert_series_equal(got['v_r'], exp['v_r'],
+                                   check_names=False)
