@@ -564,7 +564,13 @@ def q_doc_reconstruct(sf_dir):
 
 def q_kg_mentions_docscope(sf_dir):
     """Reference-native document-scope extraction: groupby(conv_id)
-    reconstruction (salted) then findall over whole documents."""
+    reconstruction (salted) then findall over whole documents.
+
+    Projection notes for the value-hash compare: tokens joined to one
+    string (list columns hash differently between pandas/DuckDB) and
+    span columns widened to int64; the SQL oracle re-derives doc-level
+    span arithmetic from the template corpus (turn/sentence offset
+    cumsums + fixed template prefixes)."""
     import ray.data
     from yargy_ray.pipelines.documents import (
         extract_document_mentions,
@@ -573,7 +579,21 @@ def q_kg_mentions_docscope(sf_dir):
     tpath = _transcripts_for(sf_dir)
     turns = ray.data.read_parquet(tpath)
     docs = reconstruct_documents(turns, window=64)
-    return extract_document_mentions(docs, concurrency=_pool())
+    mentions = extract_document_mentions(docs, concurrency=_pool())
+
+    def project(batch: pa.Table) -> pa.Table:
+        toks = pc.binary_join(
+            pc.cast(batch.column('tokens'), pa.list_(pa.string())), ' ')
+        return pa.table({
+            'conv_id': batch.column('conv_id'),
+            'rule': batch.column('rule'),
+            'span_start': pc.cast(batch.column('span_start'), pa.int64()),
+            'span_stop': pc.cast(batch.column('span_stop'), pa.int64()),
+            'tokens_str': toks,
+            'fact_json': batch.column('fact_json'),
+        })
+
+    return mentions.map_batches(project, batch_format='pyarrow')
 
 
 def q_kg_mention_counts(sf_dir):
@@ -903,6 +923,136 @@ _MONTH_CASE = ' '.join(
     for num, name in enumerate(
         ['января', 'февраля', 'марта', 'апреля', 'мая', 'июня', 'июля',
          'августа', 'сентября', 'октября', 'ноября', 'декабря'], start=1))
+
+
+def _docscope_oracle_sql() -> str:
+    """SQL re-derivation of document-scope mentions INCLUDING spans:
+    doc offset = cumsum(turn lengths + 1-char separator) per conv_id +
+    cumsum(sentence lengths + 3-char ' . ' separator) within the turn +
+    the template's fixed prefix length; tokens and fact JSON rebuilt
+    from the extracted template groups (mirrors stages/extract.py
+    output over the generator templates in sources/transcripts.py)."""
+    re_date1 = r"'^встреча (\d+) ([а-яё]+) (\d+) в офисе$'"
+    re_date2 = r"'^дедлайн (\d{4})-(\d{2})-(\d{2}) подтвержден$'"
+    re_money1 = ("'^бюджет составил (\\d+) (тысяч|миллионов)"
+                 " (рублей|долларов)$'")
+    re_money2 = r"'^это стоит (\d+) руб\.$'"
+    re_person = ("'^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)"
+                 " ([А-ЯЁ][а-яё]+)$'")
+    re_clause = r"'^согласно ст\. (\d+) п\. (\d+) договора$'"
+    re_title = r"'^обсудили документ «([а-яё]+) ([а-яё]+)»$'"
+    return f"""
+        WITH turns AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{_transcript_glob()}')
+        ), tlen AS (
+            SELECT conv_id, text,
+                   COALESCE(SUM(LEN(text) + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS turn_off
+            FROM turns
+        ), sarr AS (
+            SELECT conv_id, turn_off, STR_SPLIT(text, ' . ') AS sents
+            FROM tlen
+        ), sents AS (
+            SELECT conv_id, sents[i] AS sent,
+                   turn_off
+                   + COALESCE(list_sum(list_transform(
+                         sents[1:i-1], s -> LEN(s))), 0)
+                   + 3*(i-1) AS sent_off
+            FROM sarr, UNNEST(range(1, len(sents) + 1)) AS u(i)
+        ), m AS (
+            SELECT conv_id, 'date' AS rule,
+                   sent_off + 8 AS span_start,
+                   sent_off + 8 + LEN(d) + LEN(mes) + LEN(y) + 2
+                       AS span_stop,
+                   d || ' ' || mes || ' ' || y AS tokens_str,
+                   '{{"day": ' || CAST(d AS BIGINT) || ', "month": '
+                   || CAST((CASE mes {_MONTH_CASE} END) AS BIGINT)
+                   || ', "year": ' || y || '}}' AS fact_json
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_date1}, 1) AS d,
+                         REGEXP_EXTRACT(sent, {re_date1}, 2) AS mes,
+                         REGEXP_EXTRACT(sent, {re_date1}, 3) AS y
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_date1}))
+            UNION ALL
+            SELECT conv_id, 'date',
+                   sent_off + 8, sent_off + 18,
+                   y || ' - ' || mo || ' - ' || d,
+                   '{{"day": ' || CAST(d AS BIGINT) || ', "month": '
+                   || CAST(mo AS BIGINT) || ', "year": '
+                   || CAST(y AS BIGINT) || '}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_date2}, 1) AS y,
+                         REGEXP_EXTRACT(sent, {re_date2}, 2) AS mo,
+                         REGEXP_EXTRACT(sent, {re_date2}, 3) AS d
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_date2}))
+            UNION ALL
+            SELECT conv_id, 'money',
+                   sent_off + 16,
+                   sent_off + 16 + LEN(n) + LEN(mult) + LEN(cur) + 2,
+                   n || ' ' || mult || ' ' || cur,
+                   '{{"amount": ' || CAST(n AS BIGINT)
+                   || ', "currency": "'
+                   || (CASE cur WHEN 'рублей' THEN 'RUB'
+                       ELSE 'USD' END)
+                   || '", "mult": '
+                   || (CASE mult WHEN 'тысяч' THEN 1000
+                       ELSE 1000000 END) || '}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_money1}, 1) AS n,
+                         REGEXP_EXTRACT(sent, {re_money1}, 2) AS mult,
+                         REGEXP_EXTRACT(sent, {re_money1}, 3) AS cur
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_money1}))
+            UNION ALL
+            SELECT conv_id, 'money',
+                   sent_off + 10, sent_off + 10 + LEN(n) + 5,
+                   n || ' руб .',
+                   '{{"amount": ' || CAST(n AS BIGINT)
+                   || ', "currency": "RUB"}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_money2}, 1) AS n
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_money2}))
+            UNION ALL
+            SELECT conv_id, 'person',
+                   sent_off + 15,
+                   sent_off + 15 + LEN(pos) + LEN(f) + LEN(l) + 2,
+                   pos || ' ' || f || ' ' || l,
+                   '{{"first": "' || LOWER(f) || '", "last": "'
+                   || LOWER(l) || '", "position": "' || pos || '"}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_person}, 1) AS pos,
+                         REGEXP_EXTRACT(sent, {re_person}, 2) AS f,
+                         REGEXP_EXTRACT(sent, {re_person}, 3) AS l
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_person}))
+            UNION ALL
+            SELECT conv_id, 'clause',
+                   sent_off + 9,
+                   sent_off + 9 + LEN(a) + LEN(b) + 8,
+                   'ст . ' || a || ' п . ' || b,
+                   '{{"article": ' || CAST(a AS BIGINT) || ', "sub": '
+                   || CAST(b AS BIGINT) || '}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_clause}, 1) AS a,
+                         REGEXP_EXTRACT(sent, {re_clause}, 2) AS b
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_clause}))
+            UNION ALL
+            SELECT conv_id, 'title',
+                   sent_off + 18,
+                   sent_off + 18 + LEN(w1) + LEN(w2) + 3,
+                   '« ' || w1 || ' ' || w2 || ' »',
+                   '{{"text": "' || w1 || ' ' || w2 || '"}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_title}, 1) AS w1,
+                         REGEXP_EXTRACT(sent, {re_title}, 2) AS w2
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_title}))
+        )
+        SELECT conv_id, rule, CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_stop AS BIGINT) AS span_stop, tokens_str,
+               fact_json
+        FROM m
+    """
 
 
 def _triples_cte():
@@ -1334,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS linked
             FROM trip WHERE pred = 'has_position'
         """,
+        'kg_mentions_docscope': _docscope_oracle_sql(),
         'kg_mention_counts': rf"""
             WITH {_triples_cte()}, m AS (
                 SELECT conv_id,
