@@ -2,6 +2,12 @@
 DuckDB oracle at a given sf, compare row count + schema + sorted values.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+
+NOTE: the six transcript-derived oracles (kg_*, doc_reconstruct) read
+the fixed sf0.01 transcript cache (__ray_entry__._ORACLE_SF_DIR — the
+scale the driver compares at), so running THIS harness at another sf
+reports expected row-count mismatches for exactly those six; every
+other oracle is scale-parametric via the registered table views.
 """
 
 import sys
