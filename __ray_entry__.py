@@ -451,6 +451,23 @@ def q_hopping_window(sf_dir):
     return out.map_batches(finalize, batch_format='pyarrow')
 
 
+def _sum_by_user_ts(ds, out_name, num_partitions=64):
+    """Per-(user_id, ts) value sum via partitioned_reduce: Ray's native
+    groupby degenerates when nearly every group is unique (1.3M groups
+    over 1.3M rows measured 20.6s vs 2s for one hash exchange + a
+    pandas in-partition groupby)."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['user_id', 'ts', 'value']).to_pandas()
+        agg = df.groupby(['user_id', 'ts'], sort=False, as_index=False)[
+            'value'].sum()
+        return pa.Table.from_pandas(
+            agg.rename(columns={'value': out_name}), preserve_index=False)
+
+    return partitioned_reduce(ds, 'user_id', reduce_fn, num_partitions)
+
+
 def q_asof_purchase(sf_dir):
     """As-of join: each click event annotated with the same user's
     latest prior (or simultaneous) purchase value — one co-partitioning
@@ -459,10 +476,9 @@ def q_asof_purchase(sf_dir):
     events = _read(sf_dir, 'events')
     clicks = (events.filter(expr="event_type == 'click'")
               .select_columns(['event_id', 'user_id', 'ts']))
-    purchases = (events.filter(expr="event_type == 'purchase'")
-                 .select_columns(['user_id', 'ts', 'value'])
-                 .groupby(['user_id', 'ts']).sum('value')
-                 .rename_columns({'sum(value)': 'purchase_value'}))
+    purchases = _sum_by_user_ts(
+        events.filter(expr="event_type == 'purchase'")
+        .select_columns(['user_id', 'ts', 'value']), 'purchase_value')
     return asof_join(clicks, purchases, by='user_id', on='ts', suffix='')
 
 
