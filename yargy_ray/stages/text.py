@@ -160,18 +160,33 @@ def _vocab_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def vocab_counts(docs_ds, min_count=1):
+def vocab_counts(docs_ds, min_count=1, num_partitions=64):
     """Corpus-level vocabulary: (token, n) global counts.
 
     Classic training-data op (tokenizer vocab building, stopword
-    mining). Map-side partial counts + ONE groupby-sum on the token;
-    at 100 TB the exchange carries per-batch distinct tokens only
+    mining). Map-side partial counts, then ONE hash exchange keyed by
+    a vectorized token hash with an in-partition pandas sum — NOT
+    Ray's native groupby, which degenerates when nearly every group is
+    unique (measured 20.6s vs 2s on 1.3M groups; see stress_ops). At
+    100 TB the exchange carries per-batch distinct tokens only
     (sub-linear in corpus size by Heaps' law).
     """
-    import pyarrow.compute as pc
-    out = (docs_ds.map_batches(_vocab_partial, batch_format='pyarrow')
-           .groupby('token').sum('n')
-           .rename_columns({'sum(n)': 'n'}))
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    partial = docs_ds.map_batches(_vocab_partial, batch_format='pyarrow')
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('vkey', _hash64(batch.column('token')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['token', 'n']).to_pandas()
+        agg = df.groupby('token', sort=False, as_index=False)['n'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = partitioned_reduce(
+        partial.map_batches(keyed, batch_format='pyarrow'),
+        'vkey', reduce_fn, num_partitions)
     if min_count > 1:
         out = out.filter(expr=f'n >= {min_count}')
     return out
