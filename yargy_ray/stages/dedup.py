@@ -206,6 +206,24 @@ def _sig16_matrix(arr, num_perm):
     return np.frombuffer(data, dtype=np.uint16).reshape(-1, num_perm)
 
 
+def _pair_agg(found, value_col, how, num_partitions=64):
+    """Collapse duplicate (a, b) pair rows (a pair can surface from
+    several buckets) keeping min/max of ``value_col``. One hash
+    exchange keyed on ``a`` + an in-partition pandas groupby —
+    near-unique pair keys are exactly the regime where Ray's native
+    sort-aggregate degenerates (measured 20.6s vs 2s on 1.3M groups;
+    BASELINE stress notes)."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def reduce_fn(table):
+        df = table.select(['a', 'b', value_col]).to_pandas()
+        agg = df.groupby(['a', 'b'], sort=False, as_index=False)[
+            value_col].agg(how)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partitioned_reduce(found, 'a', reduce_fn, num_partitions)
+
+
 MAX_BUCKET = 256  # hot-bucket cap: boilerplate shingles otherwise O(n^2)
 
 
@@ -275,10 +293,7 @@ def minhash_near_dups(docs_ds, num_perm=64, bands=16, k=5, threshold=0.7,
             table, lambda g: _minhash_bucket_pairs(g, num_perm, threshold))
 
     pairs = partitioned_reduce(banded, 'bucket', reduce_fn, num_partitions)
-    return (
-        pairs.groupby(['a', 'b']).max('sim')
-        .rename_columns({'max(sim)': 'sim'})
-    )
+    return _pair_agg(pairs, 'sim', 'max')
 
 
 # ---------------------------------------------------------------------------
@@ -443,10 +458,7 @@ def simhash_near_dups(docs_ds, max_hamming=3):
         return _per_bucket(table, pairs)
 
     found = partitioned_reduce(bucketed, 'bucket', reduce_fn, 64)
-    return (
-        found.groupby(['a', 'b']).min('hamming')
-        .rename_columns({'min(hamming)': 'hamming'})
-    )
+    return _pair_agg(found, 'hamming', 'min')
 
 
 # ---------------------------------------------------------------------------
@@ -536,10 +548,7 @@ def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12, tables=4):
         return _per_bucket(table, pairs)
 
     found = partitioned_reduce(bucketed, 'bucket', reduce_fn, 64)
-    return (
-        found.groupby(['a', 'b']).max('cosine')
-        .rename_columns({'max(cosine)': 'cosine'})
-    )
+    return _pair_agg(found, 'cosine', 'max')
 
 
 def embedding_near_dups_exact(emb_ds, threshold=0.95):
