@@ -625,12 +625,29 @@ def q_kg_mention_counts(sf_dir):
     turns = ray.data.read_parquet(tpath)
     docs = reconstruct_documents(turns, window=64)
     mentions = extract_document_mentions(docs, concurrency=_pool())
-    counts = mentions.groupby(['conv_id', 'rule']).count()
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return _rename(batch, {'count()': 'n_mentions'})
+    # one group per (conv, rule) — near-unique keys at scale, so route
+    # through the hash exchange instead of Ray's native groupby
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
 
-    return counts.map_batches(rename, batch_format='pyarrow')
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'conv_id': batch.column('conv_id'),
+            'rule': batch.column('rule'),
+            'ckey': _hash64(batch.column('conv_id')),
+        })
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['conv_id', 'rule']).to_pandas()
+        agg = (df.groupby(['conv_id', 'rule'], sort=False)
+               .size().reset_index(name='n_mentions'))
+        agg['n_mentions'] = agg['n_mentions'].astype('int64')
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partitioned_reduce(
+        mentions.map_batches(keyed, batch_format='pyarrow'),
+        'ckey', reduce_fn, 64)
 
 
 def q_multimodal_features(sf_dir):
