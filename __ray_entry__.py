@@ -465,7 +465,8 @@ def _sum_by_user_ts(ds, out_name, num_partitions=64):
         return pa.Table.from_pandas(
             agg.rename(columns={'value': out_name}), preserve_index=False)
 
-    return partitioned_reduce(ds, 'user_id', reduce_fn, num_partitions)
+    return partitioned_reduce(ds, 'user_id', reduce_fn, num_partitions,
+                              coalesce='auto')
 
 
 def q_asof_purchase(sf_dir):
@@ -647,7 +648,7 @@ def q_kg_mention_counts(sf_dir):
 
     return partitioned_reduce(
         mentions.map_batches(keyed, batch_format='pyarrow'),
-        'ckey', reduce_fn, 64)
+        'ckey', reduce_fn, 64, coalesce='auto')
 
 
 def q_multimodal_features(sf_dir):

@@ -221,7 +221,8 @@ def _pair_agg(found, value_col, how, num_partitions=64):
             value_col].agg(how)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return partitioned_reduce(found, 'a', reduce_fn, num_partitions)
+    return partitioned_reduce(found, 'a', reduce_fn, num_partitions,
+                              coalesce='auto')
 
 
 MAX_BUCKET = 256  # hot-bucket cap: boilerplate shingles otherwise O(n^2)

@@ -40,10 +40,17 @@ def partitioned_reduce(ds, key_column, reduce_fn, num_partitions=64,
     ``coalesce=N`` repartitions the input down to N blocks before the
     exchange. The sort-based groupby's overhead scales with input BLOCK
     COUNT, not bytes (measured: 48MB in 256 tiny blocks -> 18s exchange;
-    same data coalesced to 32 blocks -> 3s). Map stages that emit many
-    small blocks (e.g. one per extraction task) should coalesce to
-    ~total-cores blocks first; at real scale blocks approach the 128MB
-    target and the coalesce becomes a cheap no-op."""
+    same data coalesced to 32 blocks -> 3s; a 4M-row asof exchange
+    9.8s -> 2.5s). Map stages that emit many small blocks (e.g. one per
+    extraction task) should coalesce to ~total-cores blocks first; at
+    real scale blocks approach the 128MB target and the coalesce
+    becomes a cheap no-op. ``coalesce='auto'`` resolves to the live
+    cluster's CPU count — scale-safe (block count tracks the cluster,
+    never a fixed constant)."""
+    if coalesce == 'auto':
+        import ray
+        coalesce = max(8, int(ray.cluster_resources().get('CPU', 8))) \
+            if ray.is_initialized() else 8
     if coalesce:
         ds = ds.repartition(coalesce)
     parted = with_partition(ds, key_column, num_partitions)

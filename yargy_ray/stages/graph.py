@@ -63,7 +63,8 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
 
     labels = partitioned_reduce(
         edges.map_batches(init_labels, batch_format='pyarrow'),
-        'node', dedup_nodes, num_partitions).materialize()
+        'node', dedup_nodes, num_partitions,
+        coalesce='auto').materialize()
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
@@ -105,9 +106,10 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
                   .union(edges.map_batches(tag(1),
                                            batch_format='pyarrow')))
         msgs = partitioned_reduce(tagged, 'key', propagate,
-                                  num_partitions)
+                                  num_partitions, coalesce='auto')
         labels = partitioned_reduce(msgs, 'node', dedup_nodes,
-                                    num_partitions).materialize()
+                                    num_partitions,
+                                    coalesce='auto').materialize()
         cur_sum = labels.sum('label')
         if cur_sum == prev_sum:
             break

@@ -67,7 +67,7 @@ def broadcast_join(big_ds, small_ds, big_key, small_key, columns,
 
 
 def asof_join(left_ds, right_ds, by, on, direction='backward',
-              suffix='_r', num_partitions=64):
+              suffix='_r', num_partitions=64, coalesce='auto'):
     """Big-big as-of join: for each left row, attach the latest right
     row with the same ``by`` key and ``right.on <= left.on``
     ('backward'; 'forward' takes the earliest ``right.on >= left.on``).
@@ -150,7 +150,8 @@ def asof_join(left_ds, right_ds, by, on, direction='backward',
             merged[left_names + val_names], schema=out_schema,
             preserve_index=False)
 
-    return partitioned_reduce(tagged, by, reduce_fn, num_partitions)
+    return partitioned_reduce(tagged, by, reduce_fn, num_partitions,
+                              coalesce=coalesce)
 
 
 def interval_join(left_ds, right_ds, by, on, start, stop, suffix='_r',

@@ -78,4 +78,5 @@ def topk_per_group(ds, group_columns, order_column, k, descending=True,
                                     preserve_index=False)
 
     key = group_columns[0]
-    return partitioned_reduce(ds, key, reduce_fn, num_partitions)
+    return partitioned_reduce(ds, key, reduce_fn, num_partitions,
+                              coalesce='auto')

@@ -186,7 +186,7 @@ def vocab_counts(docs_ds, min_count=1, num_partitions=64):
 
     out = partitioned_reduce(
         partial.map_batches(keyed, batch_format='pyarrow'),
-        'vkey', reduce_fn, num_partitions)
+        'vkey', reduce_fn, num_partitions, coalesce='auto')
     if min_count > 1:
         out = out.filter(expr=f'n >= {min_count}')
     return out

@@ -79,7 +79,8 @@ def sessionize(events_ds, gap_minutes=30, num_partitions=64):
         return _sessionize_partition(part, gap_us)
 
     return partitioned_reduce(events_ds, 'user_id', fn,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              coalesce='auto')
 
 
 def _tumbling_partial(batch: pa.Table) -> pa.Table:
