@@ -216,15 +216,30 @@ def _emit_node_counts(batch: pa.Table) -> pa.Table:
     })
 
 
-def canonicalize_nodes(triples_ds):
-    """Distinct nodes with degrees; one groupby over pre-aggregated rows."""
+def canonicalize_nodes(triples_ds, num_partitions=64):
+    """Distinct nodes with degrees: map-side combine, then ONE hash
+    exchange + in-partition pandas sum — one group per distinct node
+    is the near-unique regime where Ray's native sort-aggregate
+    degenerates (BASELINE stress notes)."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+
     partial = triples_ds.map_batches(
         _emit_node_counts, batch_format='pyarrow', batch_size=8192)
-    return (
-        partial.groupby(['node_id', 'kind', 'norm'])
-        .sum('degree')
-        .rename_columns({'sum(degree)': 'degree'})
-    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            'nkey', _hash64(batch.column('node_id')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['node_id', 'kind', 'norm',
+                           'degree']).to_pandas()
+        agg = df.groupby(['node_id', 'kind', 'norm'], sort=False,
+                         as_index=False)['degree'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partitioned_reduce(
+        partial.map_batches(keyed, batch_format='pyarrow'),
+        'nkey', reduce_fn, num_partitions, coalesce='auto')
 
 
 # ---------------------------------------------------------------------------
@@ -254,13 +269,26 @@ def _emit_edge_counts(batch: pa.Table) -> pa.Table:
     })
 
 
-def aggregate_edges(triples_ds):
+def aggregate_edges(triples_ds, num_partitions=64):
+    """Distinct edges with weights — same hash-exchange shape as
+    :func:`canonicalize_nodes` (one group per distinct edge)."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+
     partial = triples_ds.map_batches(
         _emit_edge_counts, batch_format='pyarrow', batch_size=8192)
-    return (
-        partial.groupby(['src', 'dst', 'pred']).sum('weight')
-        .rename_columns({'sum(weight)': 'weight'})
-    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('ekey', _hash64(batch.column('src')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['src', 'dst', 'pred', 'weight']).to_pandas()
+        agg = df.groupby(['src', 'dst', 'pred'], sort=False,
+                         as_index=False)['weight'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partitioned_reduce(
+        partial.map_batches(keyed, batch_format='pyarrow'),
+        'ekey', reduce_fn, num_partitions, coalesce='auto')
 
 
 # ---------------------------------------------------------------------------
