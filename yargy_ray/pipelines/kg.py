@@ -98,7 +98,7 @@ def _dedup_block(table: pa.Table) -> pa.Table:
 
 
 def dedup_triples(triples_ds, num_partitions=64, prededuped=False,
-                  coalesce=None):
+                  coalesce='auto'):
     """Exact global dedup: map-side combine, ONE partition-wise shuffle,
     vectorized first-per-key reduce.
 
