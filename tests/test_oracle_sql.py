@@ -150,3 +150,56 @@ def test_asof_join_matches_duckdb(ray_session, seed):
     import pandas as pd
     pd.testing.assert_series_equal(got['v_r'], exp['v_r'],
                                    check_names=False)
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_sessionize_matches_duckdb(ray_session, seed):
+    """Randomized differential with deliberate ts collisions — the
+    (ts, event_id) tie-break must agree with the SQL window order."""
+    import numpy as np
+    import ray.data
+
+    from yargy_ray.stages.windows import sessionize
+
+    rng = np.random.RandomState(seed)
+    n = 400
+    base = np.datetime64('2024-01-01T00:00:00', 'us')
+    # coarse 10-minute grid forces many equal timestamps per user
+    ts = base + (rng.randint(0, 60, n) * 600).astype('timedelta64[s]')
+    events = pa.table({
+        'user_id': pa.array(rng.randint(0, 5, n), type=pa.int64()),
+        'event_id': pa.array(rng.permutation(n), type=pa.int64()),
+        'ts': pa.array(ts.astype('datetime64[us]')),
+        'value': pa.array(np.ones(n)),
+    })
+    got = (sessionize(ray.data.from_arrow(events), num_partitions=4)
+           .to_pandas()
+           .sort_values(['user_id', 'session_id']).reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register('events', events)
+    exp = con.sql("""
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+               SUM(value) AS sum_value
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """).df().reset_index(drop=True)
+    for col in ('user_id', 'session_id', 'n_events'):
+        assert got[col].tolist() == exp[col].tolist(), col
+    assert (got['sum_value'] - exp['sum_value']).abs().max() == 0.0
+    assert got['start_ts'].tolist() == exp['start_ts'].tolist()
+    assert got['end_ts'].tolist() == exp['end_ts'].tolist()
