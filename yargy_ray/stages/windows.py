@@ -99,10 +99,20 @@ def _tumbling_partial(batch: pa.Table) -> pa.Table:
     ).rename_columns(['event_type', 'window_start', 'n', 'sum_value'])
 
 
+def _auto_repartition(ds):
+    """Coalesce partial blocks to ~cluster-CPU count before a native
+    groupby — its sort overhead scales with block COUNT (exchange.py);
+    partials are tiny, so this is one cheap narrow pass."""
+    import ray
+    n = max(8, int(ray.cluster_resources().get('CPU', 8))) \
+        if ray.is_initialized() else 8
+    return ds.repartition(n)
+
+
 def tumbling_window(events_ds, unit='hour'):
     """Per (event_type, hour) event count + value sum."""
-    partial = events_ds.map_batches(_tumbling_partial,
-                                    batch_format='pyarrow')
+    partial = _auto_repartition(events_ds.map_batches(
+        _tumbling_partial, batch_format='pyarrow'))
     out = (
         partial.groupby(['event_type', 'window_start'])
         .sum(['n', 'sum_value'])
@@ -154,7 +164,8 @@ def hopping_window(events_ds, size_hours=3, hop_hours=1):
         return pa.concat_tables(shifted)
 
     out = (
-        events_ds.map_batches(partial, batch_format='pyarrow')
+        _auto_repartition(
+            events_ds.map_batches(partial, batch_format='pyarrow'))
         .groupby(['event_type', 'window_start'])
         .sum(['n', 'sum_value'])
         .rename_columns({'sum(n)': 'n_events',
