@@ -422,3 +422,19 @@ def test_connected_components(ray_session):
            .to_pandas().set_index('node')['component'].to_dict())
     assert out == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(ray_session):
+    """Pointer jumping: a 64-node chain must converge in O(log n)
+    rounds — max_rounds=12 would be far too few for pure neighbor
+    propagation (needs ~63)."""
+    import ray.data
+
+    from yargy_ray.stages.graph import connected_components
+
+    pairs = ray.data.from_items(
+        [{'a': i, 'b': i + 1} for i in range(63)])
+    out = (connected_components(pairs, num_partitions=4, max_rounds=12)
+           .to_pandas())
+    assert len(out) == 64
+    assert set(out['component']) == {0}

@@ -11,7 +11,9 @@ Scale shape: an iterative algorithm is a driver-coordinated LOOP of
 exchanges (Ray Data has no native iteration). Per round: one
 co-partitioning exchange of (labels ∪ edges) keyed by source emits
 min-label messages along edges, one exchange keyed by node min-reduces
-them. Rounds needed = graph diameter — tiny (2-4) for dedup clusters.
+them; a pointer-jump exchange (label <- label(label)) then doubles the
+propagation distance, so rounds = O(log diameter), not O(diameter) —
+safe for long-chain graphs, not just shallow dedup clusters.
 Labels are materialized per round (bounded: one row per node); edges
 re-shuffle each round, which a longer-lived job would avoid by
 persisting edge partitions once (same manifest machinery as the IVF
@@ -40,11 +42,16 @@ def _symmetrize(batch: pa.Table, a: str, b: str) -> pa.Table:
 
 
 def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
-                         max_rounds=50):
+                         max_rounds=50, pointer_jump=True):
     """(a, b) undirected pair table -> (node, component) — component is
     the min node id reachable from the node. Only nodes appearing in
     pairs are returned (isolated nodes are their own components by
-    definition and never ship through the exchanges)."""
+    definition and never ship through the exchanges).
+
+    ``pointer_jump`` adds a label<-label(label) exchange per round:
+    ~30% more per-round cost, but rounds drop from O(diameter) to
+    O(log diameter). Keep it on unless the graph is known-shallow
+    (tight dup clusters), where False saves the extra exchange."""
     import ray.data
 
     from yargy_ray.stages.exchange import partitioned_reduce
@@ -100,14 +107,63 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
             'label': pa.array(out_label, type=pa.int64()),
         })
 
+    def tag_req(batch: pa.Table) -> pa.Table:
+        # shortcut request: keyed by the node's CURRENT label
+        n = batch.num_rows
+        return pa.table({
+            'key': batch.column('label'),
+            'other': batch.column('node'),
+            'side': pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def shortcut(table: pa.Table) -> pa.Table:
+        """Pointer jump: label(node) <- label(label(node)). Labels only
+        ever decrease (label(label) <= label), so the sum invariant is
+        preserved; co-partitioning on ``key`` lines each request up
+        with its label's own label row."""
+        df = table.select(['key', 'other', 'side']).to_pandas()
+        req = df[df['side'] == 0]
+        lut = df[df['side'] == 1]
+        merged = req.merge(
+            lut.rename(columns={'other': 'label2'}),
+            on='key', how='inner')
+        return pa.table({
+            'node': pa.array(merged['other'].to_numpy(dtype=np.int64),
+                             type=pa.int64()),
+            'label': pa.array(merged['label2'].to_numpy(dtype=np.int64),
+                              type=pa.int64()),
+        })
+
     prev_sum = None
     for _ in range(max_rounds):
+        # 1) neighbor propagation (min label along edges)
         tagged = (labels.map_batches(tag(0), batch_format='pyarrow')
                   .union(edges.map_batches(tag(1),
                                            batch_format='pyarrow')))
         msgs = partitioned_reduce(tagged, 'key', propagate,
                                   num_partitions, coalesce='auto')
         labels = partitioned_reduce(msgs, 'node', dedup_nodes,
+                                    num_partitions,
+                                    coalesce='auto').materialize()
+        # 2) pointer jump (label-of-label) — doubles the propagation
+        # distance per round, so rounds = O(log diameter) not O(diameter)
+        if not pointer_jump:
+            cur_sum = labels.sum('label')
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+            continue
+        jump_tagged = (labels.map_batches(tag_req,
+                                          batch_format='pyarrow')
+                       .union(labels.map_batches(tag(0),
+                                                 batch_format='pyarrow')
+                              .map_batches(
+                                  lambda t: t.set_column(
+                                      2, 'side', pa.array(
+                                          np.ones(t.num_rows,
+                                                  dtype=np.int8))),
+                                  batch_format='pyarrow')))
+        labels = partitioned_reduce(jump_tagged, 'key', shortcut,
                                     num_partitions,
                                     coalesce='auto').materialize()
         cur_sum = labels.sum('label')
