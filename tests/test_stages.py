@@ -438,3 +438,49 @@ def test_connected_components_long_chain(ray_session):
            .to_pandas())
     assert len(out) == 64
     assert set(out['component']) == {0}
+
+
+def test_new_operators_empty_inputs(ray_session):
+    """Empty partitions/sides are the classic distributed failure mode;
+    every round-2 operator must handle them without crashing."""
+    import ray.data
+
+    from yargy_ray.stages.graph import connected_components
+    from yargy_ray.stages.joins import asof_join
+    from yargy_ray.stages.sampling import hash_split, topk_per_group
+    from yargy_ray.stages.text import vocab_counts
+    from yargy_ray.stages.windows import hopping_window
+
+    import pandas as pd
+
+    left = ray.data.from_items([{'id': 1, 'k': 1, 't': 5}])
+    empty_right = ray.data.from_arrow(pa.table({
+        'k': pa.array([], type=pa.int64()),
+        't': pa.array([], type=pa.int64()),
+        'v': pa.array([], type=pa.float64())}))
+    out = asof_join(left, empty_right, by='k', on='t',
+                    num_partitions=4).to_pandas()
+    assert len(out) == 1 and pd.isna(out.loc[0, 'v_r'])
+
+    empty_pairs = ray.data.from_arrow(pa.table({
+        'a': pa.array([], type=pa.int64()),
+        'b': pa.array([], type=pa.int64())}))
+    assert connected_components(empty_pairs, num_partitions=4).count() == 0
+
+    empty_events = ray.data.from_arrow(pa.table({
+        'event_type': pa.array([], type=pa.string()),
+        'ts': pa.array([], type=pa.timestamp('us')),
+        'value': pa.array([], type=pa.float64())}))
+    assert hopping_window(empty_events).count() == 0
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([], type=pa.int64())}))
+    assert hash_split(empty_docs, 'doc_id').count() == 0
+    assert vocab_counts(ray.data.from_arrow(pa.table({
+        'text': pa.array([], type=pa.string())}))).count() == 0
+    empty_g = ray.data.from_arrow(pa.table({
+        'g': pa.array([], type=pa.int64()),
+        'id': pa.array([], type=pa.int64()),
+        's': pa.array([], type=pa.int64())}))
+    assert topk_per_group(empty_g, 'g', 's', 2,
+                          num_partitions=4).count() == 0
