@@ -422,6 +422,15 @@ def q_topk_orders_per_cust(sf_dir):
         'o_custkey', 'total_cents', k=3, tiebreak='o_orderkey')
 
 
+def q_user_value_quantiles(sf_dir):
+    """Per-user exact value quantiles (p50/p90) over the events stream
+    (stages/sampling.py:group_quantiles — vectorized across groups,
+    DuckDB-exact interpolation arithmetic)."""
+    from yargy_ray.stages.sampling import group_quantiles
+    events = _read(sf_dir, 'events').select_columns(['user_id', 'value'])
+    return group_quantiles(events, 'user_id', 'value', qs=(0.5, 0.9))
+
+
 def q_hopping_window(sf_dir):
     """Sliding 3h windows hopping hourly over the events stream
     (stages/windows.py:hopping_window; fan-out happens AFTER the
@@ -694,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
         'hopping_window': q_hopping_window,
+        'user_value_quantiles': q_user_value_quantiles,
         'doc_split': q_doc_split,
         'vocab_counts': q_vocab_counts,
         'topk_orders_per_cust': q_topk_orders_per_cust,
@@ -1381,6 +1391,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_custkey, o_orderkey, total_cents
             FROM ranked WHERE rn <= 3
+        """,
+        'user_value_quantiles': """
+            SELECT user_id,
+                   quantile_cont(value, 0.5) AS q50,
+                   quantile_cont(value, 0.9) AS q90
+            FROM events GROUP BY user_id
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,

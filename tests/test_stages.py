@@ -484,3 +484,29 @@ def test_new_operators_empty_inputs(ray_session):
         's': pa.array([], type=pa.int64())}))
     assert topk_per_group(empty_g, 'g', 's', 2,
                           num_partitions=4).count() == 0
+
+
+def test_group_quantiles(ray_session):
+    import numpy as np
+    import ray.data
+
+    from yargy_ray.stages.sampling import group_quantiles
+
+    rng = np.random.RandomState(5)
+    rows = [{'k': int(k), 'v': float(v)}
+            for k, v in zip(rng.randint(0, 6, 500), rng.rand(500) * 100)]
+    rows.append({'k': 99, 'v': 42.0})       # single-element group
+    ds = ray.data.from_items(rows)
+    out = (group_quantiles(ds, 'k', 'v', qs=(0.5, 0.9), num_partitions=4)
+           .to_pandas().set_index('k'))
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    for k, grp in df.groupby('k'):
+        x = np.sort(grp['v'].to_numpy())
+        for q, col in ((0.5, 'q50'), (0.9, 'q90')):
+            h = q * (len(x) - 1)
+            lo = int(np.floor(h)); frac = h - lo
+            hi = min(lo + 1, len(x) - 1)
+            expect = x[lo] * (1 - frac) + x[hi] * frac
+            assert out.loc[k, col] == expect, (k, col)
+    assert out.loc[99, 'q50'] == 42.0 and out.loc[99, 'q90'] == 42.0

@@ -80,3 +80,50 @@ def topk_per_group(ds, group_columns, order_column, k, descending=True,
     key = group_columns[0]
     return partitioned_reduce(ds, key, reduce_fn, num_partitions,
                               coalesce='auto')
+
+
+def group_quantiles(ds, key_column, value_column, qs=(0.5, 0.9),
+                    num_partitions=64):
+    """Exact per-group quantiles (linear interpolation) — one hash
+    exchange, fully vectorized across groups inside each partition
+    (lexsort + reduceat-style indexing; no per-group UDF calls).
+
+    Interpolation is ``a*(1-f) + b*f`` — DuckDB's ``quantile_cont``
+    arithmetic exactly, so SQL oracles compare bit-for-bit (the
+    ``a + f*(b-a)`` variant differs in the last ulp). ``key_column``
+    must be a non-negative integer (exchange contract).
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    names = [f'q{int(q * 100)}' for q in qs]
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        keys = table.column(key_column).to_numpy(zero_copy_only=False)
+        vals = table.column(value_column).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table(
+                {key_column: pa.array([], type=pa.int64()),
+                 **{nm: pa.array([], type=pa.float64())
+                    for nm in names}})
+        order = np.lexsort((vals, keys))
+        keys = keys[order]
+        vals = vals[order].astype(np.float64)
+        new = np.empty(len(keys), dtype=bool)
+        new[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(keys)))
+        cols = {key_column: pa.array(keys[starts], type=pa.int64())}
+        for q, nm in zip(qs, names):
+            h = q * (counts - 1)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            hi = np.minimum(lo + 1, counts - 1)
+            a = vals[starts + lo]
+            b = vals[starts + hi]
+            cols[nm] = pa.array(a * (1.0 - frac) + b * frac,
+                                type=pa.float64())
+        return pa.table(cols)
+
+    return partitioned_reduce(ds, key_column, reduce_fn,
+                              num_partitions, coalesce='auto')
