@@ -431,6 +431,22 @@ def q_user_value_quantiles(sf_dir):
     return group_quantiles(events, 'user_id', 'value', qs=(0.5, 0.9))
 
 
+def q_stratified_sample(sf_dir):
+    """Deterministic 5-per-customer-nation order sample
+    (stages/sampling.py:stratified_sample — md5-rank draw, stable
+    across cluster sizes)."""
+    from yargy_ray.stages.sampling import stratified_sample
+    from yargy_ray.stages.joins import broadcast_join
+    orders = _read(sf_dir, 'orders').select_columns(
+        ['o_orderkey', 'o_custkey'])
+    customer = _read(sf_dir, 'customer').select_columns(
+        ['c_custkey', 'c_nationkey'])
+    j = broadcast_join(orders, customer, 'o_custkey', 'c_custkey',
+                       ['c_nationkey'])
+    return stratified_sample(j.select_columns(
+        ['c_nationkey', 'o_orderkey']), 'c_nationkey', 'o_orderkey', 5)
+
+
 def q_hopping_window(sf_dir):
     """Sliding 3h windows hopping hourly over the events stream
     (stages/windows.py:hopping_window; fan-out happens AFTER the
@@ -704,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'asof_purchase': q_asof_purchase,
         'hopping_window': q_hopping_window,
         'user_value_quantiles': q_user_value_quantiles,
+        'stratified_sample': q_stratified_sample,
         'doc_split': q_doc_split,
         'vocab_counts': q_vocab_counts,
         'topk_orders_per_cust': q_topk_orders_per_cust,
@@ -1397,6 +1414,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS q50,
                    quantile_cont(value, 0.9) AS q90
             FROM events GROUP BY user_id
+        """,
+        'stratified_sample': """
+            WITH j AS (
+                SELECT c.c_nationkey, o.o_orderkey
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+            ), ranked AS (
+                SELECT c_nationkey, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY CAST(md5_number_lower(
+                               CAST(o_orderkey AS VARCHAR)) AS HUGEINT)
+                               % 1000000 ASC,
+                               o_orderkey ASC) AS rn
+                FROM j
+            )
+            SELECT c_nationkey, o_orderkey FROM ranked WHERE rn <= 5
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,

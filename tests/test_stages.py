@@ -510,3 +510,21 @@ def test_group_quantiles(ray_session):
             expect = x[lo] * (1 - frac) + x[hi] * frac
             assert out.loc[k, col] == expect, (k, col)
     assert out.loc[99, 'q50'] == 42.0 and out.loc[99, 'q90'] == 42.0
+
+
+def test_stratified_sample(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.sampling import stratified_sample
+
+    rows = [{'g': i % 4, 'id': i} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    out = (stratified_sample(ds, 'g', 'id', k=3, num_partitions=4)
+           .to_pandas())
+    assert len(out) == 12
+    assert out.groupby('g').size().tolist() == [3, 3, 3, 3]
+    # deterministic across re-runs
+    again = stratified_sample(ds, 'g', 'id', k=3,
+                              num_partitions=8).to_pandas()
+    assert (sorted(map(tuple, out[['g', 'id']].values.tolist()))
+            == sorted(map(tuple, again[['g', 'id']].values.tolist())))

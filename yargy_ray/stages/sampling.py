@@ -127,3 +127,23 @@ def group_quantiles(ds, key_column, value_column, qs=(0.5, 0.9),
 
     return partitioned_reduce(ds, key_column, reduce_fn,
                               num_partitions, coalesce='auto')
+
+
+def stratified_sample(ds, group_column, id_column, k, num_partitions=64):
+    """Deterministic k-per-group sample: rank rows inside each group by
+    an md5 of the id and keep the k smallest — an unbiased, seedless
+    draw that is reproducible across cluster sizes, resume, and
+    repartitioning (the property a balanced-domain training sample
+    needs). Reuses the top-k exchange shape; ``group_column`` must be a
+    non-negative integer key."""
+    def rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            '_rank', pa.array(
+                _md5_bucket(batch.column(id_column).to_pylist()),
+                type=pa.int64()))
+
+    ranked = ds.map_batches(rank, batch_format='pyarrow')
+    out = topk_per_group(ranked, group_column, '_rank', k,
+                         descending=False, tiebreak=id_column,
+                         num_partitions=num_partitions)
+    return out.drop_columns(['_rank'])
