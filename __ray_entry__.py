@@ -447,6 +447,37 @@ def q_stratified_sample(sf_dir):
         ['c_nationkey', 'o_orderkey']), 'c_nationkey', 'o_orderkey', 5)
 
 
+def q_priority_revenue(sf_dir):
+    """Big-big hash join (lineitem x orders co-partitioned on orderkey,
+    stages/joins.py:hash_join) then revenue per order priority."""
+    from yargy_ray.stages.joins import hash_join
+    lineitem = _read(sf_dir, 'lineitem').select_columns(
+        ['l_orderkey', 'l_extendedprice', 'l_discount'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            pc.cast(batch.column('l_extendedprice'), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column('l_discount'),
+                                     pa.float64())))
+        return pa.table({
+            'l_orderkey': batch.column('l_orderkey'),
+            'revenue_cents': _cents(revenue),
+        })
+
+    orders = _read(sf_dir, 'orders').select_columns(
+        ['o_orderkey', 'o_orderpriority']).map_batches(
+        lambda b: _rename(b, {'o_orderkey': 'l_orderkey'}),
+        batch_format='pyarrow')
+    j = hash_join(lineitem.map_batches(prep, batch_format='pyarrow'),
+                  orders, on='l_orderkey')
+    agg = j.groupby('o_orderpriority').sum('revenue_cents')
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return _rename(batch, {'sum(revenue_cents)': 'revenue_cents'})
+
+    return agg.map_batches(rename, batch_format='pyarrow')
+
+
 def q_hopping_window(sf_dir):
     """Sliding 3h windows hopping hourly over the events stream
     (stages/windows.py:hopping_window; fan-out happens AFTER the
@@ -721,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'hopping_window': q_hopping_window,
         'user_value_quantiles': q_user_value_quantiles,
         'stratified_sample': q_stratified_sample,
+        'priority_revenue': q_priority_revenue,
         'doc_split': q_doc_split,
         'vocab_counts': q_vocab_counts,
         'topk_orders_per_cust': q_topk_orders_per_cust,
@@ -1431,6 +1463,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM j
             )
             SELECT c_nationkey, o_orderkey FROM ranked WHERE rn <= 5
+        """,
+        'priority_revenue': """
+            SELECT o.o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                       + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,

@@ -528,3 +528,26 @@ def test_stratified_sample(ray_session):
                               num_partitions=8).to_pandas()
     assert (sorted(map(tuple, out[['g', 'id']].values.tolist()))
             == sorted(map(tuple, again[['g', 'id']].values.tolist())))
+
+
+def test_hash_join(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.joins import hash_join
+
+    left = ray.data.from_items([
+        {'k': 1, 'x': 'a'}, {'k': 1, 'x': 'b'},
+        {'k': 2, 'x': 'c'}, {'k': 3, 'x': 'd'},   # k=3 has no right
+    ])
+    right = ray.data.from_items([
+        {'k': 1, 'x': 'R1', 'w': 10},   # 'x' collides -> suffixed
+        {'k': 2, 'x': 'R2', 'w': 20},
+        {'k': 4, 'x': 'R4', 'w': 40},   # k=4 has no left
+    ])
+    out = (hash_join(left, right, on='k', num_partitions=4)
+           .to_pandas().sort_values(['k', 'x']).reset_index(drop=True))
+    assert list(out.columns) == ['k', 'x', 'x_r', 'w']
+    assert out['k'].tolist() == [1, 1, 2]
+    assert out['x'].tolist() == ['a', 'b', 'c']
+    assert out['x_r'].tolist() == ['R1', 'R1', 'R2']
+    assert out['w'].tolist() == [10, 10, 20]

@@ -185,3 +185,79 @@ def interval_join(left_ds, right_ds, by, on, start, stop, suffix='_r',
         return batch.filter(pc.fill_null(mask, False))
 
     return joined.map_batches(keep_contained, batch_format='pyarrow')
+
+
+def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
+              coalesce='auto'):
+    """Big-big inner equi-join: both sides co-partitioned by the join
+    key in ONE tagged-union exchange, then a vectorized pandas merge
+    per partition. Complements ``broadcast_join`` (small side) and the
+    temporal joins; ``on`` must be a non-negative integer key (the
+    exchange contract). Right columns colliding with left names get
+    ``suffix``.
+
+    Scale shape: the single exchange is the only data movement; skew on
+    the join key bounds partition size exactly like the dedup family.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def field_types(schema):
+        base = getattr(schema, 'base_schema', schema)
+        return {n: base.field(n).type for n in schema.names}
+
+    ltypes = field_types(left_ds.schema())
+    rtypes = field_types(right_ds.schema())
+    left_names = list(ltypes)
+    right_vals = [n for n in rtypes if n != on]
+    out_right = [n + suffix if n in ltypes else n for n in right_vals]
+    union_schema = pa.schema(
+        [pa.field(n, ltypes[n]) for n in left_names]
+        + [pa.field('__side', pa.int8())]
+        + [pa.field(n, rtypes[v])
+           for n, v in zip(out_right, right_vals)])
+    out_schema = pa.schema(
+        [pa.field(n, ltypes[n]) for n in left_names]
+        + [pa.field(n, rtypes[v])
+           for n, v in zip(out_right, right_vals)])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [batch.column(name) for name in left_names]
+        cols.append(pa.array(np.zeros(n, dtype=np.int8)))
+        cols.extend(pa.nulls(n, type=union_schema.field(nm).type)
+                    for nm in out_right)
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for name in left_names:
+            if name == on:
+                cols.append(batch.column(on))
+            else:
+                cols.append(pa.nulls(n, type=union_schema.field(
+                    name).type))
+        cols.append(pa.array(np.ones(n, dtype=np.int8)))
+        cols.extend(batch.column(v) for v in right_vals)
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format='pyarrow')
+              .union(right_ds.map_batches(tag_right,
+                                          batch_format='pyarrow')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        left = df[df['__side'] == 0][left_names]
+        right = df[df['__side'] == 1][[on] + out_right]
+        if len(left) == 0 or len(right) == 0:
+            return out_schema.empty_table()
+        merged = left.merge(right, on=on, how='inner')
+        return pa.Table.from_pandas(merged[list(out_schema.names)],
+                                    schema=out_schema,
+                                    preserve_index=False)
+
+    return partitioned_reduce(tagged, on, reduce_fn, num_partitions,
+                              coalesce=coalesce)
