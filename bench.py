@@ -107,6 +107,7 @@ def run_secondary(sf_dir):
         'doc_dup_groups', 'minhash_pairs', 'simhash_pairs',
         'emb_topk', 'sessionize', 'tumbling_window',
         'asof_purchase', 'session_assign', 'hopping_window',
+        'priority_revenue', 'user_value_quantiles',
     ]
     queries = entrymod.queries()
     times = {}
