@@ -220,6 +220,13 @@ def q_doc_quality(sf_dir):
         to_int_units, batch_format='pyarrow')
 
 
+def q_doc_bpe_tokens(sf_dir):
+    """BPE-ish pretokenizer counts (stages/text.py:BPE_PRETOKEN_RE —
+    RE2-only pattern shared verbatim with the DuckDB oracle)."""
+    from yargy_ray.stages.text import bpe_token_counts
+    return bpe_token_counts(_read(sf_dir, 'documents'))
+
+
 def q_doc_fingerprint(sf_dir):
     from yargy_ray.stages.text import fingerprints
     return fingerprints(_read(sf_dir, 'documents'))
@@ -734,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_lang_id': q_doc_lang_id,
         'doc_quality': q_doc_quality,
         'doc_fingerprint': q_doc_fingerprint,
+        'doc_bpe_tokens': q_doc_bpe_tokens,
         'doc_dup_groups': q_doc_dup_groups,
         'extract_ints': q_extract_ints,
         'sessionize': q_sessionize,
@@ -1473,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
         """,
+        'doc_bpe_tokens': "SELECT doc_id, CAST(LEN(regexp_extract_all(text, $$'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$$)) AS BIGINT) AS n_bpe_tokens FROM documents",
         'tumbling_window': """
             SELECT event_type, DATE_TRUNC('hour', ts) AS window_start,
                    COUNT(*) AS n_events,

@@ -190,3 +190,27 @@ def vocab_counts(docs_ds, min_count=1, num_partitions=64):
     if min_count > 1:
         out = out.filter(expr=f'n >= {min_count}')
     return out
+
+
+# GPT-2-style pretokenizer shape, restricted to RE2 (no lookahead) so
+# the pyarrow kernel and the DuckDB oracle share exact semantics
+BPE_PRETOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex — the unit a byte-pair tokenizer would split further, and the
+    standard budget proxy for training-data pipelines. Vectorized RE2
+    count, zero-copy."""
+    counts = pc.count_substring_regex(
+        batch.column('text'), BPE_PRETOKEN_RE).cast(pa.int64())
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'n_bpe_tokens': counts,
+    })
+
+
+def bpe_token_counts(docs_ds):
+    return docs_ds.map_batches(bpe_token_count_batch,
+                               batch_format='pyarrow')
