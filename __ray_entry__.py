@@ -623,6 +623,21 @@ def q_kg_nodes(sf_dir):
     return canonicalize_nodes(triples)
 
 
+def q_kg_edges(sf_dir):
+    """Edge aggregation: distinct (src, dst, pred) with occurrence
+    weights; endpoint ids are content-hashes of (kind, norm) using the
+    SAME kind maps as the node table (pipelines/kg.py:OBJ_KIND), so
+    every dst resolves in kg_nodes — pinned here by the SQL oracle."""
+    import ray.data
+    from yargy_ray.pipelines.kg import aggregate_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    return aggregate_edges(triples)
+
+
 def q_kg_linked(sf_dir):
     """Gazetteer-backed entity linking over has_position triple objects
     (broadcast index via ray.put, morph-lemma lookup in actors)."""
@@ -767,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'session_assign': q_session_assign,
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
+        'kg_edges': q_kg_edges,
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'kg_mentions_docscope': q_kg_mentions_docscope,
@@ -1610,6 +1626,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT SUBSTR(MD5(kind || ':' || norm), 1, 16) AS node_id,
                    kind, norm, COUNT(*) AS degree
             FROM incid GROUP BY kind, norm
+        """,
+        'kg_edges': f"""
+            WITH {_triples_cte()}
+            SELECT SUBSTR(MD5(
+                       (CASE WHEN pred = 'has_position' THEN 'person'
+                             ELSE 'turn' END) || ':' || subj), 1, 16)
+                       AS src,
+                   SUBSTR(MD5(
+                       (CASE pred
+                            WHEN 'mentions_date' THEN 'date'
+                            WHEN 'mentions_amount' THEN 'amount'
+                            WHEN 'mentions_person' THEN 'person'
+                            WHEN 'mentions_title' THEN 'title'
+                            WHEN 'cites_clause' THEN 'clause'
+                            WHEN 'has_position' THEN 'position'
+                            ELSE 'value' END) || ':' || obj), 1, 16)
+                       AS dst,
+                   pred, COUNT(*) AS weight
+            FROM trip GROUP BY src, dst, pred
         """,
         'kg_linked': f"""
             WITH {_triples_cte()}

@@ -255,6 +255,7 @@ def _emit_edge_counts(batch: pa.Table) -> pa.Table:
         ['subj', 'pred', 'obj']).aggregate(
         [('conv_id', 'min'), ([], 'count_all')])
     skinds = _subj_kind(agg.column('pred')).to_pylist()
+    okinds = _obj_kind(agg.column('pred')).to_pylist()
     subjs = agg.column('subj').to_pylist()
     objs = agg.column('obj').to_pylist()
     return pa.table({
@@ -262,7 +263,8 @@ def _emit_edge_counts(batch: pa.Table) -> pa.Table:
             [node_id_of(f'{k}:{s}') for k, s in zip(skinds, subjs)],
             type=pa.string()),
         'dst': pa.array(
-            [node_id_of(f'value:{o}') for o in objs], type=pa.string()),
+            [node_id_of(f'{k}:{o}') for k, o in zip(okinds, objs)],
+            type=pa.string()),
         'pred': agg.column('pred'),
         'weight': agg.column('count_all').cast(pa.int64()),
         'conv_id': agg.column('conv_id_min'),

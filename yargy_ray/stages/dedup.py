@@ -593,7 +593,7 @@ def embedding_near_dups_exact(emb_ds, threshold=0.95):
                               concurrency=(1, 4))
 
 
-def plant_duplicate_vectors(emb_ds, n_planted=8, id_offset=None):
+def plant_duplicate_vectors(emb_ds, n_planted=8):
     """Append exact copies of the vectors with vec_id < n_planted under
     ids -1-vec_id. Deterministic ground truth for near-dup queries over
     corpora with no natural near pairs (the planted (orig, copy) pairs

@@ -19,15 +19,17 @@ import pyarrow.compute as pc
 
 
 def with_partition(ds, key_column, num_partitions, out='part'):
-    """Append ``part = key % P`` (key must be a non-negative integer)."""
+    """Append ``part = key mod P`` in [0, P) for any integer key
+    (negative keys — e.g. planted duplicate vec_ids — normalize to the
+    mathematical modulus, so equal keys always share a partition)."""
     def add_part(batch: pa.Table) -> pa.Table:
-        # no modulo kernel in pyarrow 16 — x - P*floor(x/P) over int64
+        # no modulo kernel in pyarrow 16 — truncated divide leaves
+        # rem in (-P, P); adding P to the negatives lands in [0, P)
+        p = pa.scalar(num_partitions, pa.int64())
         key = pc.cast(batch.column(key_column), pa.int64())
-        quot = pc.divide(key, pa.scalar(num_partitions, pa.int64()))
-        part = pc.cast(
-            pc.subtract(key, pc.multiply(
-                quot, pa.scalar(num_partitions, pa.int64()))),
-            pa.int32())
+        rem = pc.subtract(key, pc.multiply(pc.divide(key, p), p))
+        part = pc.cast(pc.add(rem, pc.multiply(
+            pc.cast(pc.less(rem, 0), pa.int64()), p)), pa.int32())
         return batch.append_column(out, part)
     return ds.map_batches(add_part, batch_format='pyarrow')
 

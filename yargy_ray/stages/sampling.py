@@ -43,8 +43,14 @@ def hash_split(ds, key_column, fractions=None):
     if fractions is None:
         fractions = {'train': 0.9, 'val': 0.05, 'test': 0.05}
     names = list(fractions)
-    bounds = np.cumsum([fractions[n] for n in names]) * _PRECISION
-    bounds[-1] = _PRECISION  # guard float drift
+    # integer bucket boundaries: rounding each cumulative edge keeps
+    # every boundary exact (0.9+0.05 cumsums to 950000.0000000001 in
+    # float — searchsorted would then disagree with the SQL oracle's
+    # `b < 950000` on a row hashing to exactly 950000)
+    bounds = np.rint(
+        np.cumsum([fractions[n] for n in names]) * _PRECISION
+    ).astype(np.int64)
+    bounds[-1] = _PRECISION  # fractions must cover [0, 1]
 
     def assign(batch: pa.Table) -> pa.Table:
         buckets = _md5_bucket(batch.column(key_column).to_pylist())

@@ -163,7 +163,13 @@ def build_ivf_index(emb_ds, index_dir, num_lists=16, sample=4096, iters=10,
 
     from yargy_ray.state.manifests import fingerprint, run_stage
 
-    fp = fingerprint('ivf', input_key, num_lists, sample, iters, seed)
+    # cheap content fingerprint: the input's row count (parquet reads
+    # resolve it from footers) — a regenerated corpus at the same path
+    # must invalidate the persisted index instead of being silently
+    # served stale results on resume
+    n_rows = emb_ds.count()
+    fp = fingerprint('ivf', input_key, num_lists, sample, iters, seed,
+                     n_rows)
 
     def produce(out_dir):
         centroids = train_centroids(emb_ds, num_lists, sample, iters, seed)
