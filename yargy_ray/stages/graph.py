@@ -8,21 +8,33 @@ itself and its neighbors; fixpoint = components labeled by their min
 node id.
 
 Scale shape: an iterative algorithm is a driver-coordinated LOOP of
-exchanges (Ray Data has no native iteration). Per round: one
-co-partitioning exchange of (labels ∪ edges) keyed by source emits
-min-label messages along edges, one exchange keyed by node min-reduces
-them; a pointer-jump exchange (label <- label(label)) then doubles the
-propagation distance, so rounds = O(log diameter), not O(diameter) —
-safe for long-chain graphs, not just shallow dedup clusters.
-Labels are materialized per round (bounded: one row per node); edges
-re-shuffle each round, which a longer-lived job would avoid by
-persisting edge partitions once (same manifest machinery as the IVF
-index) — documented trade-off, not a correctness issue. Convergence is
-detected by the monotone label-sum invariant: per-node labels only ever
-decrease, so an unchanged global sum == fixpoint (no join needed).
+exchanges (Ray Data has no native iteration). The symmetrized edge set
+is PERSISTED ONCE as hash-partitioned parquet (partitioned on
+``src mod P`` — the same partition function the label exchange uses),
+so each round ships ONLY label rows (bounded: one per node):
+
+* exchange 1 — labels co-partitioned on ``node``; each partition reads
+  its own edge partition from storage (partition-pruned read, no
+  shuffle) and emits min-label messages per neighbor, min-reduced
+  map-side so message volume is bounded by distinct dst per partition,
+  never raw edge count;
+* exchange 2 — messages min-reduced per node into the new labels;
+* exchange 3 (optional pointer jump) — label <- label(label), doubling
+  propagation distance per round, so rounds = O(log diameter), not
+  O(diameter) — safe for long-chain graphs, not just shallow dup
+  clusters.
+
+Convergence is detected by the monotone label-sum invariant: per-node
+labels only ever decrease, so an unchanged global sum == fixpoint (no
+join needed).
 """
 
 from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -41,137 +53,159 @@ def _symmetrize(batch: pa.Table, a: str, b: str) -> pa.Table:
     return pa.table({'src': src, 'dst': dst})
 
 
+def _read_edge_partition(edges_dir, part):
+    files = sorted(glob.glob(
+        os.path.join(edges_dir, f'part={part}', '*.parquet')))
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+    return pa.concat_tables([pq.read_table(f, columns=['src', 'dst'])
+                             for f in files])
+
+
 def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
-                         max_rounds=50, pointer_jump=True):
+                         max_rounds=50, pointer_jump=True, edges_dir=None):
     """(a, b) undirected pair table -> (node, component) — component is
     the min node id reachable from the node. Only nodes appearing in
     pairs are returned (isolated nodes are their own components by
     definition and never ship through the exchanges).
 
-    ``pointer_jump`` adds a label<-label(label) exchange per round:
-    ~30% more per-round cost, but rounds drop from O(diameter) to
-    O(log diameter). Keep it on unless the graph is known-shallow
-    (tight dup clusters), where False saves the extra exchange."""
-    import ray.data
+    ``edges_dir``: where the symmetrized, hash-partitioned edge table
+    is persisted for the duration of the run (a private temp dir by
+    default, removed afterwards; pass a stable path to keep it).
+    ``pointer_jump``: keep on unless the graph is known-shallow (tight
+    dup clusters), where False saves one exchange per round."""
+    from yargy_ray.stages.exchange import partitioned_reduce, with_partition
 
-    from yargy_ray.stages.exchange import partitioned_reduce
+    own_dir = edges_dir is None
+    if own_dir:
+        edges_dir = tempfile.mkdtemp(prefix='yargy_ray_cc_edges_')
 
-    edges = pairs_ds.map_batches(
-        lambda t: _symmetrize(t, a, b), batch_format='pyarrow')
+    try:
+        edges = pairs_ds.map_batches(
+            lambda t: _symmetrize(t, a, b), batch_format='pyarrow')
+        # persist ONCE, partitioned by the same hash the label exchange
+        # uses — per-round edge access becomes a partition-pruned read
+        # instead of an all-to-all shuffle of the full edge set
+        with_partition(edges, 'src', num_partitions).write_parquet(
+            edges_dir, partition_cols=['part'])
+        import ray.data
+        if not glob.glob(os.path.join(edges_dir, 'part=*')):
+            # empty pair table -> empty component table
+            return ray.data.from_arrow(pa.table({
+                'node': pa.array([], type=pa.int64()),
+                'component': pa.array([], type=pa.int64())}))
+        edges = ray.data.read_parquet(edges_dir, columns=['src', 'dst'])
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        node = batch.column('src')
-        return pa.table({'node': node, 'label': node})
+        def init_labels(batch: pa.Table) -> pa.Table:
+            node = batch.column('src')
+            return pa.table({'node': node, 'label': node})
 
-    def dedup_nodes(table: pa.Table) -> pa.Table:
-        df = table.select(['node', 'label']).to_pandas()
-        df = df.groupby('node', sort=False, as_index=False)['label'].min()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        def dedup_nodes(table: pa.Table) -> pa.Table:
+            df = table.select(['node', 'label']).to_pandas()
+            df = df.groupby('node', sort=False, as_index=False)[
+                'label'].min()
+            return pa.Table.from_pandas(df, preserve_index=False)
 
-    labels = partitioned_reduce(
-        edges.map_batches(init_labels, batch_format='pyarrow'),
-        'node', dedup_nodes, num_partitions,
-        coalesce='auto').materialize()
+        labels = partitioned_reduce(
+            edges.map_batches(init_labels, batch_format='pyarrow'),
+            'node', dedup_nodes, num_partitions,
+            coalesce='auto').materialize()
 
-    def tag(side):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            if side == 0:   # labels: key on node
+        def propagate(table: pa.Table) -> pa.Table:
+            """One label partition + its persisted edge partition ->
+            min-label messages (min-reduced map-side) + self rows."""
+            if table.num_rows == 0:
+                return pa.table({'node': pa.array([], type=pa.int64()),
+                                 'label': pa.array([], type=pa.int64())})
+            part = table.column('part')[0].as_py()
+            lab = table.select(['node', 'label']).to_pandas()
+            edge_tbl = _read_edge_partition(edges_dir, part)
+            if edge_tbl is None:
+                return pa.Table.from_pandas(lab, preserve_index=False)
+            edg = edge_tbl.to_pandas()
+            msgs = edg.merge(lab.rename(columns={'node': 'src'}),
+                             on='src', how='inner')
+            # map-side min-reduce: one message per distinct dst
+            msgs = msgs.groupby('dst', sort=False, as_index=False)[
+                'label'].min().rename(columns={'dst': 'node'})
+            node = np.concatenate([lab['node'].to_numpy(dtype=np.int64),
+                                   msgs['node'].to_numpy(dtype=np.int64)])
+            label = np.concatenate([lab['label'].to_numpy(dtype=np.int64),
+                                    msgs['label'].to_numpy(dtype=np.int64)])
+            return pa.table({
+                'node': pa.array(node, type=pa.int64()),
+                'label': pa.array(label, type=pa.int64()),
+            })
+
+        def tag_label(side):
+            def fn(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
                 return pa.table({
                     'key': batch.column('node'),
                     'other': batch.column('label'),
-                    'side': pa.array(np.zeros(n, dtype=np.int8)),
+                    'side': pa.array(np.full(n, side, dtype=np.int8)),
                 })
-            return pa.table({  # edges: key on src
-                'key': batch.column('src'),
-                'other': batch.column('dst'),
-                'side': pa.array(np.ones(n, dtype=np.int8)),
+            return fn
+
+        def tag_req(batch: pa.Table) -> pa.Table:
+            # shortcut request: keyed by the node's CURRENT label
+            n = batch.num_rows
+            return pa.table({
+                'key': batch.column('label'),
+                'other': batch.column('node'),
+                'side': pa.array(np.zeros(n, dtype=np.int8)),
             })
-        return fn
 
-    def propagate(table: pa.Table) -> pa.Table:
-        """One co-partitioned round: per src, message min(label) to
-        every neighbor, plus keep (node, label) itself."""
-        df = table.select(['key', 'other', 'side']).to_pandas()
-        lab = df[df['side'] == 0]
-        edg = df[df['side'] == 1]
-        msgs = edg.merge(
-            lab.rename(columns={'key': 'src', 'other': 'label'}),
-            left_on='key', right_on='src', how='inner')
-        out_node = np.concatenate([lab['key'].to_numpy(),
-                                   msgs['other'].to_numpy()])
-        out_label = np.concatenate([lab['other'].to_numpy(),
-                                    msgs['label'].to_numpy()])
-        return pa.table({
-            'node': pa.array(out_node, type=pa.int64()),
-            'label': pa.array(out_label, type=pa.int64()),
-        })
+        def shortcut(table: pa.Table) -> pa.Table:
+            """Pointer jump: label(node) <- label(label(node)). Labels
+            only ever decrease (label(label) <= label), so the sum
+            invariant is preserved; co-partitioning on ``key`` lines
+            each request up with its label's own label row."""
+            df = table.select(['key', 'other', 'side']).to_pandas()
+            req = df[df['side'] == 0]
+            lut = df[df['side'] == 1]
+            merged = req.merge(
+                lut.rename(columns={'other': 'label2'}),
+                on='key', how='inner')
+            return pa.table({
+                'node': pa.array(merged['other'].to_numpy(dtype=np.int64),
+                                 type=pa.int64()),
+                'label': pa.array(
+                    merged['label2'].to_numpy(dtype=np.int64),
+                    type=pa.int64()),
+            })
 
-    def tag_req(batch: pa.Table) -> pa.Table:
-        # shortcut request: keyed by the node's CURRENT label
-        n = batch.num_rows
-        return pa.table({
-            'key': batch.column('label'),
-            'other': batch.column('node'),
-            'side': pa.array(np.zeros(n, dtype=np.int8)),
-        })
-
-    def shortcut(table: pa.Table) -> pa.Table:
-        """Pointer jump: label(node) <- label(label(node)). Labels only
-        ever decrease (label(label) <= label), so the sum invariant is
-        preserved; co-partitioning on ``key`` lines each request up
-        with its label's own label row."""
-        df = table.select(['key', 'other', 'side']).to_pandas()
-        req = df[df['side'] == 0]
-        lut = df[df['side'] == 1]
-        merged = req.merge(
-            lut.rename(columns={'other': 'label2'}),
-            on='key', how='inner')
-        return pa.table({
-            'node': pa.array(merged['other'].to_numpy(dtype=np.int64),
-                             type=pa.int64()),
-            'label': pa.array(merged['label2'].to_numpy(dtype=np.int64),
-                              type=pa.int64()),
-        })
-
-    prev_sum = None
-    for _ in range(max_rounds):
-        # 1) neighbor propagation (min label along edges)
-        tagged = (labels.map_batches(tag(0), batch_format='pyarrow')
-                  .union(edges.map_batches(tag(1),
-                                           batch_format='pyarrow')))
-        msgs = partitioned_reduce(tagged, 'key', propagate,
-                                  num_partitions, coalesce='auto')
-        labels = partitioned_reduce(msgs, 'node', dedup_nodes,
-                                    num_partitions,
-                                    coalesce='auto').materialize()
-        # 2) pointer jump (label-of-label) — doubles the propagation
-        # distance per round, so rounds = O(log diameter) not O(diameter)
-        if not pointer_jump:
+        prev_sum = None
+        for _ in range(max_rounds):
+            # 1) neighbor propagation: ONE label exchange; edges come
+            # from the persisted partition, not a shuffle
+            msgs = partitioned_reduce(labels, 'node', propagate,
+                                      num_partitions, drop_part=False,
+                                      coalesce='auto')
+            labels = partitioned_reduce(msgs, 'node', dedup_nodes,
+                                        num_partitions,
+                                        coalesce='auto').materialize()
+            # 2) pointer jump (label-of-label) — doubles propagation
+            # distance per round
+            if pointer_jump:
+                jump_tagged = (
+                    labels.map_batches(tag_req, batch_format='pyarrow')
+                    .union(labels.map_batches(tag_label(1),
+                                              batch_format='pyarrow')))
+                labels = partitioned_reduce(
+                    jump_tagged, 'key', shortcut, num_partitions,
+                    coalesce='auto').materialize()
             cur_sum = labels.sum('label')
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-            continue
-        jump_tagged = (labels.map_batches(tag_req,
-                                          batch_format='pyarrow')
-                       .union(labels.map_batches(tag(0),
-                                                 batch_format='pyarrow')
-                              .map_batches(
-                                  lambda t: t.set_column(
-                                      2, 'side', pa.array(
-                                          np.ones(t.num_rows,
-                                                  dtype=np.int8))),
-                                  batch_format='pyarrow')))
-        labels = partitioned_reduce(jump_tagged, 'key', shortcut,
-                                    num_partitions,
-                                    coalesce='auto').materialize()
-        cur_sum = labels.sum('label')
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(['node', 'component'])
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(['node', 'component'])
 
-    return labels.map_batches(rename, batch_format='pyarrow')
+        return labels.map_batches(
+            rename, batch_format='pyarrow').materialize()
+    finally:
+        if own_dir:
+            shutil.rmtree(edges_dir, ignore_errors=True)

@@ -63,6 +63,11 @@ class EntityLinker:
     from ``ray.put`` (the broadcast path — resolved once per actor).
     """
 
+    # surface forms repeat heavily (same insight as the extraction LRU,
+    # stages/extract.py): cache the tokenize+lemma key per distinct
+    # surface, bounded per actor
+    _CACHE_MAX = 100_000
+
     def __init__(self, index_ref, column='obj'):
         try:
             import ray
@@ -73,13 +78,23 @@ class EntityLinker:
         self.index = index_ref
         self.column = column
         self.tokenizer = MorphTokenizer()
+        self._key_cache = {}
+
+    def _key_of(self, value):
+        key = self._key_cache.get(value)
+        if key is None:
+            key = normalize_phrase(self.tokenizer, value)
+            if len(self._key_cache) >= self._CACHE_MAX:
+                self._key_cache.clear()
+            self._key_cache[value] = key
+        return key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         values = batch.column(self.column).to_pylist()
         ids = []
         linked = []
         for value in values:
-            key = normalize_phrase(self.tokenizer, value or '')
+            key = self._key_of(value or '')
             hit = self.index.get(key)
             if hit is None:
                 ids.append(key)

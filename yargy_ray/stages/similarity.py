@@ -14,7 +14,6 @@
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -50,41 +49,56 @@ class BatchTopK:
         ids = np.asarray(batch.column('vec_id').to_pylist(), dtype=np.int64)
         vecs = _unit(_as_matrix(batch.column('embedding')))
         sims = self.queries @ vecs.T                       # (Q, B)
+        nq = sims.shape[0]
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[0]):
-            for col in idx[qi]:
-                out_q.append(qi)
-                out_id.append(int(ids[col]))
-                out_sim.append(float(sims[qi, col]))
+        cols = idx.ravel()
         return pa.table({
-            'query_id': pa.array(out_q, type=pa.int64()),
-            'vec_id': pa.array(out_id, type=pa.int64()),
-            'cosine': pa.array(out_sim, type=pa.float64()),
+            'query_id': pa.array(
+                np.repeat(np.arange(nq, dtype=np.int64), k)),
+            'vec_id': pa.array(ids[cols]),
+            'cosine': pa.array(
+                sims[np.repeat(np.arange(nq), k), cols]
+                .astype(np.float64)),
         })
 
 
-def merge_topk(partials: pa.Table, k) -> list[dict]:
-    """Reduce per-batch partials to the global top-k per query."""
-    heaps = {}
-    for q, v, s in zip(partials.column('query_id').to_pylist(),
-                       partials.column('vec_id').to_pylist(),
-                       partials.column('cosine').to_pylist()):
-        heap = heaps.setdefault(q, [])
-        # tie-break on vec_id for full determinism
-        item = (s, -v)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-    rows = []
-    for q in sorted(heaps):
-        ranked = sorted(heaps[q], key=lambda t: (-t[0], -t[1]))
-        for rank, (s, negv) in enumerate(ranked):
-            rows.append({'query_id': q, 'rank': rank, 'vec_id': -negv,
-                         'cosine': s})
-    return rows
+def _topk_partition(table: pa.Table, k) -> pa.Table:
+    """Vectorized top-k per query over one partition of complete query
+    groups: one mergesort + grouped head + cumcount rank. Ties break on
+    vec_id ascending for full determinism."""
+    df = table.select(['query_id', 'vec_id', 'cosine']).to_pandas()
+    df = df.sort_values(['query_id', 'cosine', 'vec_id'],
+                        ascending=[True, False, True], kind='mergesort',
+                        ignore_index=True)
+    out = df.groupby('query_id', sort=False).head(k).reset_index(drop=True)
+    out['rank'] = out.groupby('query_id', sort=False).cumcount()
+    return pa.table({
+        'query_id': pa.array(out['query_id'].to_numpy(dtype=np.int64)),
+        'rank': pa.array(out['rank'].to_numpy(dtype=np.int64)),
+        'vec_id': pa.array(out['vec_id'].to_numpy(dtype=np.int64)),
+        'cosine': pa.array(out['cosine'].to_numpy(dtype=np.float64)),
+    })
+
+
+def merge_topk_distributed(partials_ds, k, num_partitions=16):
+    """Global top-k per query WITHOUT shipping the partials to the
+    driver: one hash exchange on ``query_id`` + a vectorized top-k per
+    partition — the driver receives only the final Q×k rows (the old
+    ``take_all()`` + Python-heap merge grew linearly with input block
+    count: ~10^8 partial rows through one driver loop at 10^11
+    vectors)."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    reduced = partitioned_reduce(
+        partials_ds, 'query_id', lambda t: _topk_partition(t, k),
+        num_partitions, coalesce='auto')
+    final = pa.Table.from_pylist(
+        reduced.take_all(),
+        schema=pa.schema([('query_id', pa.int64()), ('rank', pa.int64()),
+                          ('vec_id', pa.int64()),
+                          ('cosine', pa.float64())]))
+    return final.sort_by([('query_id', 'ascending'), ('rank', 'ascending')])
 
 
 def brute_force_topk(emb_ds, queries, k=10, concurrency=(1, 4)):
@@ -99,11 +113,7 @@ def brute_force_topk(emb_ds, queries, k=10, concurrency=(1, 4)):
         batch_size=4096,
         concurrency=concurrency,
     )
-    table = pa.Table.from_pylist(
-        partials.take_all(),
-        schema=pa.schema([('query_id', pa.int64()), ('vec_id', pa.int64()),
-                          ('cosine', pa.float64())]))
-    return pa.Table.from_pylist(merge_topk(table, k))
+    return merge_topk_distributed(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -231,11 +241,7 @@ def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
         BatchTopK,
         fn_constructor_kwargs={'queries_ref': queries_ref, 'k': k},
         batch_format='pyarrow', batch_size=4096, concurrency=concurrency)
-    table = pa.Table.from_pylist(
-        partials.take_all(),
-        schema=pa.schema([('query_id', pa.int64()), ('vec_id', pa.int64()),
-                          ('cosine', pa.float64())]))
-    return pa.Table.from_pylist(merge_topk(table, k))
+    return merge_topk_distributed(partials, k)
 
 
 def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4,
