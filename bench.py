@@ -97,44 +97,63 @@ def run_headline(corpus_path):
     return elapsed, n_turns, n_triples
 
 
-def run_secondary(sf_dir):
-    """Per-query wall times for the operator suite at this sf."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__ as entrymod
+SECONDARY_PICKS = [
+    'lineitem_agg', 'revenue_by_nation', 'doc_quality',
+    'doc_dup_groups', 'minhash_pairs', 'simhash_pairs',
+    'emb_topk', 'sessionize', 'tumbling_window',
+    'asof_purchase', 'session_assign', 'hopping_window',
+    'priority_revenue', 'user_value_quantiles', 'doc_reconstruct',
+]
 
-    picks = [
-        'lineitem_agg', 'revenue_by_nation', 'doc_quality',
-        'doc_dup_groups', 'minhash_pairs', 'simhash_pairs',
-        'emb_topk', 'sessionize', 'tumbling_window',
-        'asof_purchase', 'session_assign', 'hopping_window',
-        'priority_revenue', 'user_value_quantiles',
-    ]
-    queries = entrymod.queries()
-    times = {}
-    for name in picks:
-        start = time.time()
-        result = queries[name](sf_dir)
-        # force execution
-        import ray.data
-        if isinstance(result, ray.data.Dataset):
-            result.count()
-        times[name] = round(time.time() - start, 3)
-    return times
+
+def _time_query(fn, sf_dir):
+    import ray.data
+    start = time.time()
+    result = fn(sf_dir)
+    if isinstance(result, ray.data.Dataset):
+        result.count()        # force execution
+    return round(time.time() - start, 3)
 
 
 def main(headline_only=False):
+    """Headline + per-query suite. Every number is best-of
+    ``$GRAFT_BENCH_REPS`` (default 2) INTERLEAVED repetitions: this
+    sandbox host swings 2x between identical runs (BASELINE.md
+    host-variance note), and noise only ever subtracts throughput, so
+    best-of-interleaved approximates the uncontended machine and makes
+    round-over-round comparisons signed instead of noise-dominated.
+    Raw per-rep times are reported alongside in ``queries_raw``.
+    """
     import ray
     if not ray.is_initialized():
         ray.init(address='local', num_cpus=NUM_CPUS,
                  include_dashboard=False, log_to_driver=False)
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    reps = max(1, int(os.environ.get('GRAFT_BENCH_REPS', '2')))
     corpus = ensure_corpus(int(os.environ.get('GRAFT_CORPUS_MULT', '1')))
-    elapsed, n_turns, n_triples = run_headline(corpus)
+    queries = entrymod.queries()
+    raw = {'kg_triples': []}
+    n_turns = n_triples = None
+    for _ in range(reps):
+        elapsed, n_turns, n_triples = run_headline(corpus)
+        raw['kg_triples'].append(round(elapsed, 3))
+        if headline_only:
+            continue
+        for name in SECONDARY_PICKS:
+            raw.setdefault(name, []).append(
+                _time_query(queries[name], SF_DIR))
+    best = {name: min(times) for name, times in raw.items()}
+    elapsed = best['kg_triples']
     result = {
         'metric': 'triples_per_sec',
-        'value': round(elapsed, 3),
+        'value': elapsed,
         'unit': 'sec',
-        'queries': {'kg_triples': round(elapsed, 3)},
+        'queries': best,
+        'queries_raw': raw,
+        'reps': reps,
         'sf': _sf_name(),
         'num_cpus': NUM_CPUS,
         'n_turns': n_turns,
@@ -142,8 +161,6 @@ def main(headline_only=False):
         'turns_per_sec': round(n_turns / elapsed, 1),
         'triples_per_sec': round(n_triples / elapsed, 1),
     }
-    if not headline_only:
-        result['queries'].update(run_secondary(SF_DIR))
     print(json.dumps(result))
     ray.shutdown()
     return result
@@ -185,6 +202,9 @@ def scaling():
             env = dict(os.environ)
             env['RAY_GRAFT_CPUS'] = str(cpus)
             env['GRAFT_CORPUS_MULT'] = str(SCALING_CORPUS_MULT)
+            # the OUTER loop is the interleaving mechanism here; one
+            # headline run per subprocess keeps configs alternating
+            env['GRAFT_BENCH_REPS'] = '1'
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  '--headline-only'],
