@@ -63,7 +63,9 @@ _SF_CONVS = {'sf0.001': 24, 'sf0.01': 80, 'sf0.1': 320}
 def _transcripts_for(sf_dir):
     name = os.path.basename(os.path.normpath(sf_dir))
     n_convs = _SF_CONVS.get(name, 24)
-    path = f'/tmp/yargy_ray_cache/transcripts_{name}_{n_convs}'
+    # v3: corpus template version (address sentences added round 3) —
+    # part of the path so stale caches can never be reused
+    path = f'/tmp/yargy_ray_cache/transcripts_v3_{name}_{n_convs}'
     if not os.path.exists(os.path.join(path, '_DONE')):
         from yargy_ray.sources.transcripts import write_transcripts
         import shutil
@@ -623,6 +625,28 @@ def q_kg_nodes(sf_dir):
     return canonicalize_nodes(triples)
 
 
+def q_kg_address(sf_dir):
+    """The north rule's address surface in isolation: extraction runs
+    with ONLY the address grammar (street-type morph_pipeline +
+    gram('Surn') street name + INT house; grammars/specs.py:
+    address_grammar) — distinct (subj, pred, obj) address triples."""
+    import ray.data
+    from yargy_ray.pipelines.kg import dedup_triples
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    factories = ('yargy_ray.grammars.specs:address_grammar',)
+    triples = project_triples(
+        extract_mentions(turns, factories, concurrency=_pool()), factories)
+    deduped = dedup_triples(triples)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(['subj', 'pred', 'obj'])
+
+    return deduped.map_batches(project, batch_format='pyarrow')
+
+
 def q_kg_edges(sf_dir):
     """Edge aggregation: distinct (src, dst, pred) with occurrence
     weights; endpoint ids are content-hashes of (kind, norm) using the
@@ -781,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'topk_orders_per_cust': q_topk_orders_per_cust,
         'session_assign': q_session_assign,
         'kg_triples': q_kg_triples,
+        'kg_address': q_kg_address,
         'kg_nodes': q_kg_nodes,
         'kg_edges': q_kg_edges,
         'kg_linked': q_kg_linked,
@@ -808,7 +833,7 @@ _ORACLE_SF_DIR = '/root/testdata/sf0.01'
 def _transcript_glob():
     name = os.path.basename(os.path.normpath(_ORACLE_SF_DIR))
     n = _SF_CONVS.get(name, 24)
-    return f'/tmp/yargy_ray_cache/transcripts_{name}_{n}/*.parquet'
+    return f'/tmp/yargy_ray_cache/transcripts_v3_{name}_{n}/*.parquet'
 
 
 def _mulmod64_sql(x: str, c: int) -> str:
@@ -1058,6 +1083,10 @@ def _docscope_oracle_sql() -> str:
                  " ([А-ЯЁ][а-яё]+)$'")
     re_clause = r"'^согласно ст\. (\d+) п\. (\d+) договора$'"
     re_title = r"'^обсудили документ «([а-яё]+) ([а-яё]+)»$'"
+    re_addr1 = (r"'^офис находится на улице ([А-ЯЁ][а-яё]+)"
+                r" дом (\d+)$'")
+    re_addr2 = (r"'^встреча по адресу (проспект|шоссе)"
+                r" ([А-ЯЁ][а-яё]+) д\. (\d+)$'")
     return f"""
         WITH turns AS (
             SELECT conv_id, turn_idx, text
@@ -1164,6 +1193,31 @@ def _docscope_oracle_sql() -> str:
                          REGEXP_EXTRACT(sent, {re_title}, 1) AS w1,
                          REGEXP_EXTRACT(sent, {re_title}, 2) AS w2
                   FROM sents WHERE REGEXP_MATCHES(sent, {re_title}))
+            UNION ALL
+            SELECT conv_id, 'address',
+                   sent_off + 18,
+                   sent_off + 18 + 11 + LEN(s) + LEN(n),
+                   'улице ' || s || ' дом ' || n,
+                   '{{"house": ' || CAST(n AS BIGINT)
+                   || ', "street": "' || LOWER(s)
+                   || '", "street_type": "улица"}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_addr1}, 1) AS s,
+                         REGEXP_EXTRACT(sent, {re_addr1}, 2) AS n
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_addr1}))
+            UNION ALL
+            SELECT conv_id, 'address',
+                   sent_off + 18,
+                   sent_off + 18 + 5 + LEN(st) + LEN(s) + LEN(n),
+                   st || ' ' || s || ' д . ' || n,
+                   '{{"house": ' || CAST(n AS BIGINT)
+                   || ', "street": "' || LOWER(s)
+                   || '", "street_type": "' || st || '"}}'
+            FROM (SELECT conv_id, sent_off,
+                         REGEXP_EXTRACT(sent, {re_addr2}, 1) AS st,
+                         REGEXP_EXTRACT(sent, {re_addr2}, 2) AS s,
+                         REGEXP_EXTRACT(sent, {re_addr2}, 3) AS n
+                  FROM sents WHERE REGEXP_MATCHES(sent, {re_addr2}))
         )
         SELECT conv_id, rule, CAST(span_start AS BIGINT) AS span_start,
                CAST(span_stop AS BIGINT) AS span_stop, tokens_str,
@@ -1276,6 +1330,34 @@ def _triples_cte():
                    REGEXP_EXTRACT(sent, '^обсудили документ «([^»]+)»$', 1)
             FROM sents
             WHERE REGEXP_MATCHES(sent, '^обсудили документ «[^»]+»$')
+            UNION ALL
+            -- 'офис находится на улице <Фамилия-род.> дом N'
+            SELECT turn_uid, 'mentions_address',
+                   'улица ' || LOWER(REGEXP_EXTRACT(sent,
+                       '^офис находится на улице ([А-ЯЁ][а-яё]+)'
+                       || ' дом (\d+)$', 1))
+                   || ' ' || REGEXP_EXTRACT(sent,
+                       '^офис находится на улице ([А-ЯЁ][а-яё]+)'
+                       || ' дом (\d+)$', 2)
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^офис находится на улице [А-ЯЁ][а-яё]+ дом \d+$')
+            UNION ALL
+            -- 'встреча по адресу проспект|шоссе <Фамилия-род.> д. N'
+            SELECT turn_uid, 'mentions_address',
+                   REGEXP_EXTRACT(sent,
+                       '^встреча по адресу (проспект|шоссе)'
+                       || ' ([А-ЯЁ][а-яё]+) д\. (\d+)$', 1)
+                   || ' ' || LOWER(REGEXP_EXTRACT(sent,
+                       '^встреча по адресу (проспект|шоссе)'
+                       || ' ([А-ЯЁ][а-яё]+) д\. (\d+)$', 2))
+                   || ' ' || REGEXP_EXTRACT(sent,
+                       '^встреча по адресу (проспект|шоссе)'
+                       || ' ([А-ЯЁ][а-яё]+) д\. (\d+)$', 3)
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^встреча по адресу (проспект|шоссе)'
+                || ' [А-ЯЁ][а-яё]+ д\. \d+$')
         )"""
 
 
@@ -1605,6 +1687,11 @@ def oracle_sql() -> dict[str, str]:
             WITH {_triples_cte()}
             SELECT DISTINCT subj, pred, obj FROM trip
         """,
+        'kg_address': f"""
+            WITH {_triples_cte()}
+            SELECT DISTINCT subj, pred, obj FROM trip
+            WHERE pred = 'mentions_address'
+        """,
         'kg_nodes': f"""
             WITH {_triples_cte()}, incid AS (
                 SELECT CASE WHEN pred = 'has_position' THEN 'person'
@@ -1616,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 'mentions_date' THEN 'date'
                            WHEN 'mentions_amount' THEN 'amount'
                            WHEN 'mentions_person' THEN 'person'
+                           WHEN 'mentions_address' THEN 'address'
                            WHEN 'mentions_title' THEN 'title'
                            WHEN 'cites_clause' THEN 'clause'
                            WHEN 'has_position' THEN 'position'
@@ -1638,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'mentions_date' THEN 'date'
                             WHEN 'mentions_amount' THEN 'amount'
                             WHEN 'mentions_person' THEN 'person'
+                            WHEN 'mentions_address' THEN 'address'
                             WHEN 'mentions_title' THEN 'title'
                             WHEN 'cites_clause' THEN 'clause'
                             WHEN 'has_position' THEN 'position'
@@ -1678,6 +1767,13 @@ def oracle_sql() -> dict[str, str]:
                          WHEN REGEXP_MATCHES(sent,
                              '^обсудили документ «[^»]+»$')
                            THEN 'title'
+                         WHEN REGEXP_MATCHES(sent,
+                             '^офис находится на улице [А-ЯЁ][а-яё]+'
+                             || ' дом \d+$')
+                           OR REGEXP_MATCHES(sent,
+                             '^встреча по адресу (проспект|шоссе)'
+                             || ' [А-ЯЁ][а-яё]+ д\. \d+$')
+                           THEN 'address'
                        END AS rule
                 FROM sents
             )

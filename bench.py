@@ -35,7 +35,7 @@ def _sf_name():
 
 def _corpus_path(multiplier=1):
     n = _BENCH_CONVS.get(_sf_name(), 2000) * multiplier
-    return f'/tmp/yargy_ray_bench/transcripts_{_sf_name()}_{n}', n
+    return f'/tmp/yargy_ray_bench/transcripts_v3_{_sf_name()}_{n}', n
 
 
 def ensure_corpus(multiplier=1):

@@ -85,7 +85,7 @@ def our_grammars():
 def load_texts(n):
     """Deterministic synthetic transcript turns (same generator as bench)."""
     import pyarrow.parquet as pq
-    path = '/tmp/yargy_ray_parity/transcripts'
+    path = '/tmp/yargy_ray_parity/transcripts_v3'
     if not os.path.exists(os.path.join(path, '_DONE')):
         import shutil
         from yargy_ray.sources.transcripts import write_transcripts

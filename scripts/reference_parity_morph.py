@@ -141,7 +141,23 @@ def build_grammars(ns):
         Person.last.inflected()).match(gnc)
     PERSON = ns.rule(POSITION.optional(), FIRST, LAST).interpretation(Person)
 
-    return {'date': DATE, 'money': MONEY, 'person': PERSON}
+    Address = ns.fact('Address', ['street_type', 'street', 'house'])
+    STREET_TYPE = ns.morph_pipeline(
+        ['улица', 'проспект', 'переулок', 'шоссе']).interpretation(
+        Address.street_type.normalized())
+    STREET = ns.and_(ns.gram('Surn'), ns.not_(ns.gram('Abbr'))
+                     ).interpretation(Address.street.custom(str.lower))
+    HOUSE_WORD = ns.or_(ns.rule(ns.caseless('дом')),
+                        ns.rule(ns.caseless('д'), ns.eq('.')))
+    HOUSE = ns.and_(ns.gte(1), ns.lte(999)).interpretation(
+        Address.house.custom(int))
+    ADDRESS = ns.rule(
+        STREET_TYPE, STREET,
+        ns.rule(HOUSE_WORD.optional(), HOUSE).optional(),
+    ).interpretation(Address)
+
+    return {'date': DATE, 'money': MONEY, 'person': PERSON,
+            'address': ADDRESS}
 
 
 def reference_ns():

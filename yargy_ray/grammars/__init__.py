@@ -17,6 +17,7 @@ from importlib import import_module
 
 from .specs import (  # noqa: F401
     GrammarSpec,
+    address_grammar,
     clause_grammar,
     date_grammar,
     money_grammar,
@@ -28,6 +29,7 @@ DEFAULT_FACTORIES = (
     'yargy_ray.grammars.specs:date_grammar',
     'yargy_ray.grammars.specs:money_grammar',
     'yargy_ray.grammars.specs:person_grammar',
+    'yargy_ray.grammars.specs:address_grammar',
     'yargy_ray.grammars.specs:clause_grammar',
     'yargy_ray.grammars.specs:title_grammar',
 )

@@ -196,6 +196,49 @@ def person_grammar():
 
 
 # ---------------------------------------------------------------------------
+# ADDRESS (the north rule's fourth extraction surface; reference
+# docs/ref.ipynb cell 61 builds street gazetteers with morph_pipeline,
+# and the docs' address patterns compose dictionary/gram/INT predicates)
+# ---------------------------------------------------------------------------
+
+STREET_TYPES = ['улица', 'проспект', 'переулок', 'шоссе']
+
+
+def address_triples(f, conv_id, turn_idx):
+    stype = f.get('street_type')
+    street = f.get('street')
+    if not stype or not street:
+        return []
+    obj = f'{stype} {street}'
+    if f.get('house') is not None:
+        obj += ' {}'.format(f['house'])
+    return [(turn_uid(conv_id, turn_idx), 'mentions_address', obj)]
+
+
+def address_grammar():
+    Address = fact('Address', ['street_type', 'street', 'house'])
+
+    # any inflection of the street type normalizes to its lemma
+    STREET_TYPE = morph_pipeline(STREET_TYPES).interpretation(
+        Address.street_type.normalized())
+    # genitive-surname street names (улица Иванова); keep the surface
+    # form lowercased — the gent-masc/nomn-femn lemma ambiguity of
+    # -ова forms makes lemma choice non-deterministic by design
+    STREET = and_(gram('Surn'), not_(gram('Abbr'))).interpretation(
+        Address.street.custom(str.lower))
+    HOUSE_WORD = or_(rule(caseless('дом')), rule(caseless('д'), eq('.')))
+    HOUSE = and_(gte(1), lte(999)).interpretation(Address.house.custom(int))
+
+    ADDRESS = rule(
+        STREET_TYPE,
+        STREET,
+        rule(HOUSE_WORD.optional(), HOUSE).optional(),
+    ).interpretation(Address)
+    return GrammarSpec('address', ADDRESS, address_triples,
+                       gate=r'(?i)улиц|проспект|переулк|шоссе')
+
+
+# ---------------------------------------------------------------------------
 # Clause references (ст. 14-15 п. 3 — reference cookbook cell 49)
 # ---------------------------------------------------------------------------
 

@@ -267,3 +267,45 @@ for _stem in SURNAME_STEMS:
         (_stem + 'ой', 'sing ablt'), (_stem + 'ой', 'sing loct'),
         (_stem + 'ы', 'plur nomn'),
     ]))
+
+# Street-type / address nouns for the ADDRESS grammar (the reference
+# builds street gazetteers with morph_pipeline — docs/ref.ipynb cell 61;
+# pipeline lemma keys need real paradigms, not suffix guesses, to
+# resolve the oblique cases the templates use).
+STREET_TYPE_LEMMAS = ['улица', 'проспект', 'переулок', 'шоссе']
+PARADIGMS.append(_n('улица', 'NOUN inan femn', [
+    ('улица', 'sing nomn'), ('улицы', 'sing gent'),
+    ('улице', 'sing datv'), ('улицу', 'sing accs'),
+    ('улицей', 'sing ablt'), ('улице', 'sing loct'),
+    ('улицы', 'plur nomn'), ('улиц', 'plur gent'),
+]))
+PARADIGMS.append(_n('проспект', 'NOUN inan masc', [
+    ('проспект', 'sing nomn'), ('проспекта', 'sing gent'),
+    ('проспекту', 'sing datv'), ('проспект', 'sing accs'),
+    ('проспектом', 'sing ablt'), ('проспекте', 'sing loct'),
+    ('проспекты', 'plur nomn'),
+]))
+PARADIGMS.append(_n('переулок', 'NOUN inan masc', [
+    ('переулок', 'sing nomn'), ('переулка', 'sing gent'),
+    ('переулку', 'sing datv'), ('переулок', 'sing accs'),
+    ('переулком', 'sing ablt'), ('переулке', 'sing loct'),
+    ('переулки', 'plur nomn'),
+]))
+PARADIGMS.append(_n('шоссе', 'NOUN inan neut Fixd', [
+    ('шоссе', 'sing nomn'), ('шоссе', 'sing gent'),
+    ('шоссе', 'sing datv'), ('шоссе', 'sing accs'),
+    ('шоссе', 'sing ablt'), ('шоссе', 'sing loct'),
+    ('шоссе', 'plur nomn'),
+]))
+PARADIGMS.append(_n('дом', 'NOUN inan masc', [
+    ('дом', 'sing nomn'), ('дома', 'sing gent'),
+    ('дому', 'sing datv'), ('дом', 'sing accs'),
+    ('домом', 'sing ablt'), ('доме', 'sing loct'),
+    ('дома', 'plur nomn'),
+]))
+PARADIGMS.append(_n('адрес', 'NOUN inan masc', [
+    ('адрес', 'sing nomn'), ('адреса', 'sing gent'),
+    ('адресу', 'sing datv'), ('адрес', 'sing accs'),
+    ('адресом', 'sing ablt'), ('адресе', 'sing loct'),
+    ('адреса', 'plur nomn'),
+]))

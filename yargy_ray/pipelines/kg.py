@@ -166,6 +166,7 @@ OBJ_KIND = {
     'mentions_date': 'date',
     'mentions_amount': 'amount',
     'mentions_person': 'person',
+    'mentions_address': 'address',
     'mentions_title': 'title',
     'cites_clause': 'clause',
     'has_position': 'position',

@@ -50,7 +50,7 @@ _BASE_TS = np.datetime64('2024-01-01T00:00:00', 'us')
 
 
 def _turn_sentence(rng):
-    kind = rng.randint(0, 10)
+    kind = rng.randint(0, 12)
     if kind == 0:
         day = rng.randint(1, 29)
         month = rng.randint(0, 12)
@@ -86,6 +86,15 @@ def _turn_sentence(rng):
     if kind == 6:
         amount = int(rng.choice([99, 300, 1200, 4500]))
         return f'это стоит {amount} руб.'
+    if kind == 7:
+        street = SURNAME_STEMS[rng.randint(0, len(SURNAME_STEMS))].title() + 'а'
+        house = rng.randint(1, 200)
+        return f'офис находится на улице {street} дом {house}'
+    if kind == 8:
+        stype = ['проспект', 'шоссе'][rng.randint(0, 2)]
+        street = SURNAME_STEMS[rng.randint(0, len(SURNAME_STEMS))].title() + 'а'
+        house = rng.randint(1, 200)
+        return f'встреча по адресу {stype} {street} д. {house}'
     return _FILLER[rng.randint(0, len(_FILLER))]
 
 
