@@ -754,10 +754,28 @@ def q_kg_mention_counts(sf_dir):
 
 
 def q_multimodal_features(sf_dir):
+    """FakeCodec image featurization (decode -> resize -> channel means).
+
+    The pipeline's native output is a list<float32> feature column; for
+    the oracle compare the 3 channel means are flattened to float64
+    scalars and checked bit-for-bit against the pinned golden fixture
+    (tests/fixtures/multimodal_features.parquet, regenerated by
+    scripts/make_multimodal_fixture.py from first principles)."""
     import ray.data
     from yargy_ray.stages.multimodal import featurize_images, synth_media
     media = ray.data.from_arrow(synth_media(200))
-    return featurize_images(media, concurrency=(1, 2))
+    feats = featurize_images(media, concurrency=(1, 2))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column('feature').to_numpy(zero_copy_only=False))
+        return pa.table({
+            'media_id': batch.column('media_id'),
+            'f0': pa.array(mat[:, 0].astype(np.float64)),
+            'f1': pa.array(mat[:, 1].astype(np.float64)),
+            'f2': pa.array(mat[:, 2].astype(np.float64)),
+        })
+
+    return feats.map_batches(flatten, batch_format='pyarrow')
 
 
 # ---------------------------------------------------------------------------
@@ -834,6 +852,11 @@ def _transcript_glob():
     name = os.path.basename(os.path.normpath(_ORACLE_SF_DIR))
     n = _SF_CONVS.get(name, 24)
     return f'/tmp/yargy_ray_cache/transcripts_v3_{name}_{n}/*.parquet'
+
+
+_MULTIMODAL_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    'tests', 'fixtures', 'multimodal_features.parquet')
 
 
 def _mulmod64_sql(x: str, c: int) -> str:
@@ -1791,5 +1814,12 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS checksum
             FROM read_parquet('{_transcript_glob()}')
             GROUP BY conv_id
+        """,
+        # pinned golden fixture: expected FakeCodec features re-derived
+        # from first principles by scripts/make_multimodal_fixture.py
+        # (committed parquet) — bit-for-bit, not merely rows-only
+        'multimodal_features': f"""
+            SELECT media_id, f0, f1, f2
+            FROM read_parquet('{_MULTIMODAL_FIXTURE}')
         """,
     }
