@@ -6,6 +6,14 @@ Reports, over every RU token occurrence in a deterministic corpus:
 * gram_hit   — token has >=1 reading with non-empty grammemes
                (dictionary OR suffix-guessed; what gram('NOUN')-style
                predicates actually see),
+* inflect_hit — nomn/sing re-inflection resolves through a REAL
+               paradigm cell (``Form.inflect`` returns a dictionary
+               surface, not a fallback); ``inflect_lemma`` counts
+               paradigm-backed lemma fallbacks (usually correct — the
+               lemma IS the nomn/sing form for most nouns), and
+               ``inflect_surface`` counts OOV degenerations where
+               ``inflected()`` can only echo the surface form
+               (VERDICT r02 'what's missing' #2),
 * per-POS breakdown of the readings.
 
 Runs WITHOUT Ray (generator is plain numpy/pyarrow).
@@ -27,8 +35,11 @@ def main():
     tokenizer = Tokenizer()
 
     total = dict_hits = gram_hits = 0
+    inflect_cell = inflect_lemma = inflect_surface = 0
     pos = Counter()
     missed = Counter()
+    inflect_missed = Counter()
+    target = frozenset({'nomn', 'sing'})
     for conv in range(n_convs):
         for row in generate_conversation(conv, giant_every=0):
             for token in tokenizer(row['text']):
@@ -41,6 +52,19 @@ def main():
                 has_grams = any(f.grams.values for f in forms)
                 dict_hits += in_dict
                 gram_hits += has_grams
+                # inflect path: does nomn/sing re-inflection resolve
+                # through a real paradigm cell for >=1 reading?
+                has_cell = any(
+                    f.paradigm is not None and any(
+                        target <= grams for _, grams in f.paradigm.cells)
+                    for f in forms)
+                if has_cell:
+                    inflect_cell += 1
+                elif any(f.paradigm is not None for f in forms):
+                    inflect_lemma += 1
+                else:
+                    inflect_surface += 1
+                    inflect_missed[word] += 1
                 for f in forms:
                     for g in ('NOUN', 'ADJF', 'VERB', 'INFN'):
                         if g in f.grams:
@@ -51,6 +75,16 @@ def main():
     print(f'RU tokens: {total}')
     print(f'dict_hit:  {dict_hits} ({100.0 * dict_hits / total:.1f}%)')
     print(f'gram_hit:  {gram_hits} ({100.0 * gram_hits / total:.1f}%)')
+    resolved = inflect_cell + inflect_lemma
+    print(f'inflect_hit (paradigm cell):   {inflect_cell} '
+          f'({100.0 * inflect_cell / total:.1f}%)')
+    print(f'inflect_hit (lemma fallback):  {inflect_lemma} '
+          f'({100.0 * inflect_lemma / total:.1f}%)')
+    print(f'inflect resolved total:        {resolved} '
+          f'({100.0 * resolved / total:.1f}%)')
+    print(f'inflect surface fallback (OOV): {inflect_surface} '
+          f'({100.0 * inflect_surface / total:.1f}%)')
+    print('top inflect-miss words:', inflect_missed.most_common(15))
     print(f'lexicon lemmas: '
           f'{len({f.normalized for fs in analyzer.index.values() for f in fs})}'
           f' surface forms: {len(analyzer.index)}')

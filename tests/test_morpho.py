@@ -91,3 +91,27 @@ def test_check_gram(morph):
         morph.check_gram('verb')
     with pytest.raises(ValueError):
         morph.check_gram('UNKGRAM')
+
+
+def test_abbreviation_paradigms(morph):
+    # руб/ст/п/д are dictionary Abbr+Fixd nouns with self-lemmas, so the
+    # inflect path never degenerates to a bare surface echo and the
+    # dictionary() predicate semantics stay unchanged (руб != рубль)
+    for word in ('руб', 'ст', 'п', 'д'):
+        forms = morph(word)
+        assert any('Abbr' in f.grams and 'Fixd' in f.grams
+                   and 'NOUN' in f.grams for f in forms), word
+        assert all(f.normalized == word for f in forms), word
+        form = next(f for f in forms if 'Abbr' in f.grams)
+        assert form.paradigm is not None
+        assert form.inflect({'nomn', 'sing'}) == word
+
+
+def test_reflexive_verb_paradigms(morph):
+    assert any(f.normalized == 'находиться' and '3per' in f.grams
+               and 'pres' in f.grams for f in morph('находится'))
+    assert any(f.normalized == 'договориться' and 'past' in f.grams
+               and 'plur' in f.grams for f in morph('договорились'))
+    form = next(f for f in morph('находился')
+                if f.normalized == 'находиться')
+    assert form.inflect({'INFN'}) == 'находиться'

@@ -362,6 +362,44 @@ EXTRA = [
         ('дедлайну', frozenset({'sing', 'datv'})),
         ('дедлайны', frozenset({'plur', 'nomn'})),
     ]),
+    # corpus-frequent abbreviations (руб. ст. п. д.) — pymorphy2 gives
+    # these NOUN,Abbr,Fixd self-lemma readings; without entries they were
+    # the top inflect-path OOV fallbacks (scripts/lexicon_coverage.py).
+    # Self-lemmas keep dictionary()-predicate behavior unchanged
+    # (dictionary({'рубль'}) must NOT start matching bare 'руб').
+    ('руб', frozenset({'NOUN', 'inan', 'masc', 'Abbr', 'Fixd'}), [
+        ('руб', frozenset({'sing', c}))
+        for c in ('nomn', 'gent', 'datv', 'accs', 'ablt', 'loct')
+    ] + [('руб', frozenset({'plur', 'gent'}))]),
+    ('ст', frozenset({'NOUN', 'inan', 'femn', 'Abbr', 'Fixd'}), [
+        ('ст', frozenset({'sing', c}))
+        for c in ('nomn', 'gent', 'datv', 'accs', 'ablt', 'loct')
+    ]),
+    ('п', frozenset({'NOUN', 'inan', 'masc', 'Abbr', 'Fixd'}), [
+        ('п', frozenset({'sing', c}))
+        for c in ('nomn', 'gent', 'datv', 'accs', 'ablt', 'loct')
+    ]),
+    ('д', frozenset({'NOUN', 'inan', 'masc', 'Abbr', 'Fixd'}), [
+        ('д', frozenset({'sing', c}))
+        for c in ('nomn', 'gent', 'datv', 'accs', 'ablt', 'loct')
+    ]),
+    # reflexive verbs the -ся-unaware verb() generator cannot produce
+    ('находиться', frozenset({'VERB', 'impf', 'Refl'}), [
+        ('находиться', frozenset({'INFN'})),
+        ('находится', frozenset({'sing', '3per', 'pres', 'indc'})),
+        ('находятся', frozenset({'plur', '3per', 'pres', 'indc'})),
+        ('находился', frozenset({'masc', 'sing', 'past', 'indc'})),
+        ('находилась', frozenset({'femn', 'sing', 'past', 'indc'})),
+        ('находились', frozenset({'plur', 'past', 'indc'})),
+    ]),
+    ('договориться', frozenset({'VERB', 'perf', 'Refl'}), [
+        ('договориться', frozenset({'INFN'})),
+        ('договорился', frozenset({'masc', 'sing', 'past', 'indc'})),
+        ('договорилась', frozenset({'femn', 'sing', 'past', 'indc'})),
+        ('договорились', frozenset({'plur', 'past', 'indc'})),
+        ('договорится', frozenset({'sing', '3per', 'futr', 'indc'})),
+        ('договорятся', frozenset({'plur', '3per', 'futr', 'indc'})),
+    ]),
 ]
 
 
