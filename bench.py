@@ -62,9 +62,67 @@ def ensure_corpus(multiplier=1):
     return path
 
 
+import re
+
+_STAGE_HDR = re.compile(r'^(?:Sub)?[Oo]perator \d+ (.+?): ')
+_ROWS_TOTAL = re.compile(r'Output num rows per block:.*?(\d+) total')
+_BYTES_TOTAL = re.compile(r'Output size bytes per block:.*?(\d+) total')
+# exchange-shaped operators: their output bytes approximate the data
+# that crossed the all-to-all boundary (what a multi-node cluster
+# would put on the network)
+_SHUFFLE_OPS = re.compile(r'Aggregate|Repartition|Sort|Shuffle|split',
+                          re.IGNORECASE)
+
+
+def parse_stage_stats(stats_str):
+    """Per-operator rows/bytes out of a ``Dataset.stats()`` string.
+
+    Returns (stages, shuffle_bytes): ``stages`` is an ordered list of
+    {op, rows, bytes}; ``shuffle_bytes`` sums the output bytes of
+    exchange-shaped operators (Aggregate/Repartition/Sort) — the
+    engine-side counter for "bytes that would cross the network on a
+    real cluster" (VERDICT r02 next-round item 9)."""
+    stages, current = [], None
+    for line in stats_str.splitlines():
+        header = _STAGE_HDR.match(line.strip())
+        if header:
+            current = {'op': header.group(1), 'rows': None, 'bytes': None}
+            stages.append(current)
+            continue
+        if current is None:
+            continue
+        rows = _ROWS_TOTAL.search(line)
+        if rows and current['rows'] is None:
+            current['rows'] = int(rows.group(1))
+        nbytes = _BYTES_TOTAL.search(line)
+        if nbytes and current['bytes'] is None:
+            current['bytes'] = int(nbytes.group(1))
+    shuffle_bytes = sum(s['bytes'] or 0 for s in stages
+                        if _SHUFFLE_OPS.search(s['op']))
+    return stages, shuffle_bytes
+
+
+def spilled_mib():
+    """Object-store spill total (MiB) from the raylet log of the live
+    session; 0 when nothing spilled (grpc-backed memory_summary is not
+    importable in this sandbox, so read the raylet's own counter)."""
+    import glob
+    total = 0
+    for log in glob.glob('/tmp/ray/session_latest/logs/raylet*.out'):
+        try:
+            with open(log, errors='ignore') as f:
+                for line in f:
+                    m = re.search(r'Spilled (\d+) MiB', line)
+                    if m:
+                        total = max(total, int(m.group(1)))
+        except OSError:
+            pass
+    return total
+
+
 def run_headline(corpus_path):
     """KG triples build: extract -> project -> dedup -> write. Returns
-    (seconds, n_turns, n_triples)."""
+    (seconds, n_turns, n_triples, stages, shuffle_bytes)."""
     import ray.data
     from yargy_ray.pipelines.kg import dedup_triples, extract_triples
 
@@ -93,8 +151,11 @@ def run_headline(corpus_path):
     deduped.write_parquet(out_dir)
     elapsed = time.time() - start
 
+    # stats() is instant here: the plan executed via write_parquet and
+    # the summary (incl. the Write op) is cached on the dataset
+    stages, shuffle_bytes = parse_stage_stats(deduped.stats())
     n_triples = ray.data.read_parquet(out_dir).count()
-    return elapsed, n_turns, n_triples
+    return elapsed, n_turns, n_triples, stages, shuffle_bytes
 
 
 SECONDARY_PICKS = [
@@ -137,8 +198,12 @@ def main(headline_only=False):
     queries = entrymod.queries()
     raw = {'kg_triples': []}
     n_turns = n_triples = None
+    best_stages, best_shuffle = None, None
     for _ in range(reps):
-        elapsed, n_turns, n_triples = run_headline(corpus)
+        elapsed, n_turns, n_triples, stages, shuffle_bytes = \
+            run_headline(corpus)
+        if not raw['kg_triples'] or elapsed < min(raw['kg_triples']):
+            best_stages, best_shuffle = stages, shuffle_bytes
         raw['kg_triples'].append(round(elapsed, 3))
         if headline_only:
             continue
@@ -160,6 +225,9 @@ def main(headline_only=False):
         'n_triples': n_triples,
         'turns_per_sec': round(n_turns / elapsed, 1),
         'triples_per_sec': round(n_triples / elapsed, 1),
+        'headline_stages': best_stages,
+        'shuffle_bytes': best_shuffle,
+        'spilled_mib': spilled_mib(),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -229,7 +297,10 @@ def scaling():
         'runs': {
             f'{cpus}cpu': {'sec': r['value'],
                            'turns_per_sec': r['turns_per_sec'],
-                           'triples_per_sec': r['triples_per_sec']}
+                           'triples_per_sec': r['triples_per_sec'],
+                           'shuffle_bytes': r.get('shuffle_bytes'),
+                           'spilled_mib': r.get('spilled_mib'),
+                           'stages': r.get('headline_stages')}
             for cpus, r in results.items()
         },
         'raw_turns_per_sec': {
@@ -251,14 +322,27 @@ def _append_baseline(out):
         '',
         f'## Measured ({stamp}, sf={out["sf"]})',
         '',
-        '| config | wall sec | turns/sec | triples/sec |',
-        '|---|---|---|---|',
+        '| config | wall sec | turns/sec | triples/sec |'
+        ' shuffle MiB | spilled MiB |',
+        '|---|---|---|---|---|---|',
     ]
     for cpus, run in sorted(out['runs'].items(),
                             key=lambda kv: int(kv[0][:-3])):
-        lines.append('| {c} | {sec} | {tps} | {rps} |'.format(
+        shuffle = run.get('shuffle_bytes')
+        shuffle_mib = (round(shuffle / 2**20, 1)
+                       if shuffle is not None else 'n/a')
+        lines.append('| {c} | {sec} | {tps} | {rps} | {sh} | {sp} |'.format(
             c=cpus, sec=run['sec'], tps=run['turns_per_sec'],
-            rps=run['triples_per_sec']))
+            rps=run['triples_per_sec'], sh=shuffle_mib,
+            sp=run.get('spilled_mib', 'n/a')))
+    stage_notes = []
+    for cpus, run in sorted(out['runs'].items(),
+                            key=lambda kv: int(kv[0][:-3])):
+        if run.get('stages'):
+            per_op = ', '.join(
+                f"{s['op']}: {round((s['bytes'] or 0) / 2**20, 1)}MiB"
+                f"/{s['rows']}r" for s in run['stages'])
+            stage_notes.append(f'{cpus} per-op output: {per_op}')
     pairs = ', '.join(f'{k}: **{v}**' for k, v in out['pairs'].items())
     raws = '; '.join(
         f'{c}: {vals}' for c, vals in out.get(
