@@ -662,6 +662,47 @@ def q_kg_edges(sf_dir):
     return aggregate_edges(triples)
 
 
+def q_kg_incremental(sf_dir):
+    """Incremental KG maintenance equivalence: build the KG over the
+    first 80% of conversations, merge the remaining 20% as a delta
+    (``pipelines/incremental.py`` — anti-join on co-partitioned triple
+    keys, copy-on-write only for touched partitions), and return the
+    MERGED node table. The oracle is literally the ``kg_nodes`` SQL
+    over the FULL corpus: merge == rebuild, bit for bit."""
+    import shutil
+
+    import ray.data
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    tpath = _transcripts_for(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = _SF_CONVS.get(name, 24)
+    cut = f'conv-{int(n_convs * 0.8):08d}'
+    root = f'/tmp/yargy_ray_cache/kg_inc_v3_{name}_{n_convs}'
+
+    base_t, delta_t = f'{root}/base_t', f'{root}/delta_t'
+    if not os.path.exists(f'{root}/_SPLIT_DONE'):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(base_t), os.makedirs(delta_t)
+        ds = ray.data.read_parquet(tpath)
+        ds.filter(expr=f"conv_id < '{cut}'").write_parquet(base_t)
+        ds.filter(expr=f"conv_id >= '{cut}'").write_parquet(delta_t)
+        open(f'{root}/_SPLIT_DONE', 'w').close()
+
+    # base build is manifest-checkpointed (resume skips it when cached)
+    run_kg_pipeline(base_t, f'{root}/kg_base', concurrency=_pool(),
+                    num_partitions=16)
+    merged_root = f'{root}/kg_merged'
+    shutil.rmtree(merged_root, ignore_errors=True)
+    merge_kg_delta(f'{root}/kg_base', delta_t, merged_root,
+                   concurrency=_pool(), num_partitions=16)
+    nodes = ray.data.read_parquet(f'{merged_root}/nodes')
+    return nodes.map_batches(
+        lambda b: b.select(['node_id', 'kind', 'norm', 'degree']),
+        batch_format='pyarrow')
+
+
 def q_kg_linked(sf_dir):
     """Gazetteer-backed entity linking over has_position triple objects
     (broadcast index via ray.put, morph-lemma lookup in actors)."""
@@ -826,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_address': q_kg_address,
         'kg_nodes': q_kg_nodes,
         'kg_edges': q_kg_edges,
+        'kg_incremental': q_kg_incremental,
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'kg_mentions_docscope': q_kg_mentions_docscope,
@@ -1388,6 +1430,42 @@ def oracle_sql() -> dict[str, str]:
     # the transcript-derived oracles read the deterministic /tmp cache;
     # make sure it exists even if the SQL runs before the Ray queries
     _transcripts_for(_ORACLE_SF_DIR)
+    out = _oracle_sql_dict()
+    # incremental merge == full rebuild, bit for bit. The merged node
+    # table carries the PIPELINE's degree semantics (incidences of
+    # DISTINCT deduped triples — run_kg_pipeline builds nodes from the
+    # deduped triples stage), so the oracle is the kg_nodes SQL with a
+    # DISTINCT triple set; kg_nodes itself pins the raw-occurrence
+    # semantics of canonicalize_nodes over non-deduped extractions.
+    out['kg_incremental'] = f"""
+        WITH {_triples_cte()}, dtrip AS (
+            SELECT DISTINCT subj, pred, obj FROM trip
+        ), incid AS (
+            SELECT CASE WHEN pred = 'has_position' THEN 'person'
+                        ELSE 'turn' END AS kind,
+                   subj AS norm
+            FROM dtrip
+            UNION ALL
+            SELECT CASE pred
+                       WHEN 'mentions_date' THEN 'date'
+                       WHEN 'mentions_amount' THEN 'amount'
+                       WHEN 'mentions_person' THEN 'person'
+                       WHEN 'mentions_address' THEN 'address'
+                       WHEN 'mentions_title' THEN 'title'
+                       WHEN 'cites_clause' THEN 'clause'
+                       WHEN 'has_position' THEN 'position'
+                       ELSE 'value' END AS kind,
+                   obj AS norm
+            FROM dtrip
+        )
+        SELECT SUBSTR(MD5(kind || ':' || norm), 1, 16) AS node_id,
+               kind, norm, COUNT(*) AS degree
+        FROM incid GROUP BY kind, norm
+    """
+    return out
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         'lineitem_agg': """
             SELECT l_returnflag, l_linestatus,

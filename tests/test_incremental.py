@@ -1,0 +1,119 @@
+"""Incremental KG merge: exact equivalence with a full rebuild, and
+partition-level incrementality (carried partitions are never rewritten).
+"""
+
+import glob
+import os
+
+import pytest
+
+
+def _canon(path, cols):
+    import ray.data
+    df = ray.data.read_parquet(path).to_pandas()[cols]
+    return (df.sort_values(cols).reset_index(drop=True))
+
+
+@pytest.fixture(scope='module')
+def split_corpus(ray_session, tmp_path_factory):
+    """Full corpus + a base/delta split (delta = one conversation)."""
+    import ray.data
+    from yargy_ray.sources.transcripts import write_transcripts
+
+    root = tmp_path_factory.mktemp('inc')
+    full = write_transcripts(str(root / 'full'), 20, giant_every=13,
+                             giant_factor=8)
+    ds = ray.data.read_parquet(full)
+    base_t, delta_t = str(root / 'base_t'), str(root / 'delta_t')
+    ds.filter(expr="conv_id < 'conv-00000019'").write_parquet(base_t)
+    ds.filter(expr="conv_id >= 'conv-00000019'").write_parquet(delta_t)
+    return str(root), full, base_t, delta_t
+
+
+@pytest.fixture(scope='module')
+def merged_kg(split_corpus):
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    root, full, base_t, delta_t = split_corpus
+    run_kg_pipeline(full, f'{root}/kg_full', concurrency=(1, 2),
+                    num_partitions=16)
+    run_kg_pipeline(base_t, f'{root}/kg_base', concurrency=(1, 2),
+                    num_partitions=16)
+    manifests = merge_kg_delta(f'{root}/kg_base', delta_t,
+                               f'{root}/kg_merged', concurrency=(1, 2),
+                               num_partitions=16)
+    return root, manifests
+
+
+TABLES = [('triples', ['subj', 'pred', 'obj']),
+          ('nodes', ['node_id', 'kind', 'norm', 'degree']),
+          ('edges', ['src', 'dst', 'pred', 'weight'])]
+
+
+@pytest.mark.parametrize('table,cols', TABLES)
+def test_merge_equals_full_rebuild(merged_kg, table, cols):
+    root, _ = merged_kg
+    full = _canon(f'{root}/kg_full/{table}', cols).drop_duplicates()
+    merged = _canon(f'{root}/kg_merged/{table}', cols).drop_duplicates()
+    assert full.reset_index(drop=True).equals(
+        merged.reset_index(drop=True))
+
+
+def test_carried_partitions_not_rewritten(merged_kg):
+    """A one-conversation delta must leave most partitions carried, and
+    carried node/edge partition files must be byte-identical to base."""
+    root, manifests = merged_kg
+    for table in ('nodes', 'edges'):
+        man = manifests[table]
+        assert man['carried_partitions'], table
+        assert man['merged_partitions'], table
+        for pid in man['carried_partitions']:
+            base_files = sorted(glob.glob(
+                f'{root}/kg_base/{table}/part={pid}/*.parquet'))
+            out_files = sorted(glob.glob(
+                f'{root}/kg_merged/{table}/part={pid}/*.parquet'))
+            assert [os.path.basename(f) for f in base_files] == \
+                   [os.path.basename(f) for f in out_files]
+            for bf, of in zip(base_files, out_files):
+                with open(bf, 'rb') as b, open(of, 'rb') as o:
+                    assert b.read() == o.read()
+
+
+def test_triples_append_only(merged_kg):
+    """Base triple files are carried verbatim into every partition; the
+    delta only ADDS files (append-only layout, no base rewrite)."""
+    root, manifests = merged_kg
+    man = manifests['triples']
+    assert man['new_rows'] > 0
+    for d in glob.glob(f'{root}/kg_base/triples/part=*'):
+        pid = d.rsplit('=', 1)[1]
+        base_names = {os.path.basename(f)
+                      for f in glob.glob(f'{d}/*.parquet')}
+        out_names = {os.path.basename(f) for f in glob.glob(
+            f'{root}/kg_merged/triples/part={pid}/*.parquet')}
+        assert base_names <= out_names
+        pid_i = int(pid)
+        if pid_i not in man['appended_partitions']:
+            assert base_names == out_names
+
+
+def test_empty_delta(split_corpus, tmp_path):
+    """A delta that produces no new triples (a copy of base convs)
+    merges to exactly the base graph."""
+    import ray.data
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+
+    root, full, base_t, _ = split_corpus
+    # replay a base conversation as the delta: every triple is a dup
+    dup_t = str(tmp_path / 'dup_t')
+    ray.data.read_parquet(base_t).filter(
+        expr="conv_id == 'conv-00000003'").write_parquet(dup_t)
+    out = str(tmp_path / 'kg_dupmerge')
+    manifests = merge_kg_delta(f'{root}/kg_base', dup_t, out,
+                               concurrency=(1, 2), num_partitions=16)
+    assert manifests['triples']['new_rows'] == 0
+    for table, cols in TABLES:
+        base = _canon(f'{root}/kg_base/{table}', cols)
+        merged = _canon(f'{out}/{table}', cols)
+        assert base.equals(merged), table

@@ -1,0 +1,281 @@
+"""Incremental KG maintenance: merge a delta of NEW conversations into
+an existing knowledge graph without recomputing base partitions.
+
+At 100 TB a KG is never rebuilt from scratch — transcripts arrive in
+daily/hourly increments and the graph must absorb them touching only
+the partitions the delta actually hashes into. The merge is exact:
+``merge_kg_delta(base, delta)`` produces bit-identical node/edge tables
+to a full rebuild over base ∪ delta (proven by the ``kg_incremental``
+driver oracle and ``tests/test_incremental.py``).
+
+Design (all three merges share one shape):
+
+1. **Delta triples** are extracted and deduped *within the delta* (the
+   normal :func:`~yargy_ray.pipelines.kg.extract_triples` path — no base
+   data involved).
+2. **Anti-join against base**: a triple's dedup key ``tkey`` hashes
+   (subj, pred, obj), and its layout partition hashes ``subj`` — so any
+   base duplicate of a delta triple lives in the SAME subj-partition.
+   Only base partitions the delta hashes into are read (partition
+   pruning at the read); the tagged union runs through ONE
+   ``partitioned_reduce`` whose vectorized ``np.isin`` keeps delta rows
+   whose ``tkey`` is absent on the base side — the globally-new triples.
+3. **Append, never rewrite**: base triple part-dirs are carried over
+   untouched and the new rows are appended as additional parquet files
+   inside the same ``part=`` dirs (hash-partitioned parquet is a
+   multi-file format; readers see the union). In this sandbox carry-over
+   is a file copy; on immutable cluster storage the manifest would
+   reference the base files instead — the manifest records which
+   partitions were carried vs appended either way.
+4. **Node/edge deltas** are computed from the new triples only and
+   merged into base by summing ``degree``/``weight`` per key. Aggregate
+   values change, so touched node/edge partitions are rewritten
+   (copy-on-write per partition); untouched partitions are carried.
+
+Shuffle cost is proportional to the DELTA size (plus a read of touched
+base partitions), never to the base corpus.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from yargy_ray.grammars import DEFAULT_FACTORIES
+from yargy_ray.pipelines.kg import (
+    _emit_edge_counts,
+    _emit_node_counts,
+    _hash64,
+    dedup_triples,
+    extract_triples,
+)
+from yargy_ray.state.manifests import fingerprint, write_manifest
+
+
+def _part_of(column, num_partitions):
+    """Layout partition id for a string key column (matches
+    ``kg._add_partition``: hash64 & (P-1))."""
+    return pc.cast(pc.bit_wise_and(_hash64(column), num_partitions - 1),
+                   pa.int32())
+
+
+def _part_dirs(root):
+    return {int(d.rsplit('=', 1)[1]): d
+            for d in glob.glob(os.path.join(root, 'part=*'))}
+
+
+def _part_files(part_dirs, part_ids):
+    """Parquet files of the given partitions (read_parquet takes file
+    paths when passed a list)."""
+    return [f for p in part_ids
+            for f in sorted(glob.glob(os.path.join(part_dirs[p],
+                                                   '*.parquet')))]
+
+
+def _carry_partitions(base_dir, out_dir, part_ids):
+    """Copy base part-dirs over unchanged (at scale: manifest refs)."""
+    for pid in part_ids:
+        src = os.path.join(base_dir, f'part={pid}')
+        shutil.copytree(src, os.path.join(out_dir, f'part={pid}'))
+
+
+def _rows_per_partition(out_dir):
+    import pyarrow.parquet as pq
+    parts = []
+    for pid, d in sorted(_part_dirs(out_dir).items()):
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(os.path.join(d, '*.parquet')))
+        parts.append({'partition_id': pid, 'rows': rows})
+    return parts
+
+
+def _merge_sum(base_dir, delta_partials, key_cols, sum_col, out_dir,
+               num_partitions, part_key):
+    """Shared node/edge merge: sum ``sum_col`` over base rows + delta
+    partial rows per key, rewriting ONLY partitions the delta touches.
+
+    ``delta_partials`` must be small-side-safe (pre-aggregated per
+    batch); the exchange it feeds is delta-sized. Returns manifest rows.
+    """
+    import ray.data
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            'mpart', _part_of(batch.column(part_key), num_partitions))
+
+    delta_keyed = delta_partials.map_batches(keyed, batch_format='pyarrow')
+    # the partition ids the delta hashes into = the only base
+    # partitions whose aggregates can change
+    touched = sorted({
+        r['mpart'] for r in
+        delta_keyed.groupby('mpart').count().take_all()})
+
+    base_parts = _part_dirs(base_dir)
+    carried = sorted(set(base_parts) - set(touched))
+    os.makedirs(out_dir, exist_ok=True)
+    _carry_partitions(base_dir, out_dir, carried)
+
+    cols = list(key_cols) + [sum_col]
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(cols + ['mpart']).to_pandas()
+        agg = df.groupby(list(key_cols) + ['mpart'], sort=False,
+                         as_index=False)[sum_col].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sides = [delta_keyed]
+    touched_with_base = [p for p in touched if p in base_parts]
+    if touched_with_base:
+        base_ds = ray.data.read_parquet(
+            _part_files(base_parts, touched_with_base))
+        # file-level reads skip the 'part' hive column; select the data
+        # columns and recompute mpart so schemas align with the delta
+        sides.append(base_ds.map_batches(
+            lambda b: keyed(b.select(cols)), batch_format='pyarrow'))
+    merged = partitioned_reduce(
+        sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0],
+        'mpart', reduce_fn, num_partitions, drop_part=True,
+        coalesce='auto')
+    merged = merged.map_batches(
+        lambda b: b.rename_columns(
+            [('part' if c == 'mpart' else c) for c in b.column_names]),
+        batch_format='pyarrow')
+    merged.write_parquet(out_dir, partition_cols=['part'])
+    return _rows_per_partition(out_dir), touched, carried
+
+
+def merge_kg_delta(base_root, delta_transcripts_path, out_root,
+                   factory_paths=DEFAULT_FACTORIES,
+                   concurrency=(1, 8), batch_size=128,
+                   num_partitions=16):
+    """Merge newly-arrived transcripts into an existing KG build.
+
+    ``base_root`` is a completed :func:`~yargy_ray.pipelines.kg
+    .run_kg_pipeline` output (``triples/``, ``nodes/``, ``edges/``).
+    Writes the merged graph under ``out_root`` and returns the stage
+    manifests. Exactly equivalent to a full rebuild over the combined
+    corpus (see module docstring).
+    """
+    import ray.data
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    fp = fingerprint('kg-merge', base_root, delta_transcripts_path,
+                     tuple(factory_paths), num_partitions)
+    manifests = {}
+
+    # -- 1. delta-local triples (extract + in-delta dedup), keyed by
+    #       their layout partition --------------------------------------
+    turns = ray.data.read_parquet(
+        delta_transcripts_path, columns=['conv_id', 'turn_idx', 'text'])
+    delta = dedup_triples(
+        extract_triples(turns, factory_paths, concurrency=concurrency,
+                        batch_size=batch_size),
+        prededuped=True)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            'mpart', _part_of(batch.column('subj'), num_partitions))
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            if 'mpart' not in batch.column_names:
+                batch = keyed(batch)
+            if 'tkey' not in batch.column_names:
+                key = pc.binary_join_element_wise(
+                    batch.column('subj').cast(pa.string()),
+                    batch.column('pred').cast(pa.string()),
+                    batch.column('obj').cast(pa.string()), '\x1f')
+                batch = batch.append_column('tkey', _hash64(key))
+            cols = ['subj', 'pred', 'obj', 'conv_id', 'turn_idx', 'rule',
+                    'span_start', 'span_stop', 'tkey', 'mpart']
+            batch = batch.select(cols)
+            return batch.append_column(
+                'side', pa.array(np.full(batch.num_rows, side,
+                                         dtype=np.int8)))
+        return fn
+
+    delta_keyed = delta.map_batches(tag(1), batch_format='pyarrow')
+
+    base_triples_dir = os.path.join(base_root, 'triples')
+    base_parts = _part_dirs(base_triples_dir)
+    touched = sorted({
+        r['mpart'] for r in
+        delta_keyed.groupby('mpart').count().take_all()})
+
+    # -- 2. anti-join: keep delta rows whose triple key is not in the
+    #       touched base partitions (same-subj ⇒ same partition) --------
+    def new_only(table: pa.Table) -> pa.Table:
+        sides = table.column('side').to_numpy(zero_copy_only=False)
+        tkeys = table.column('tkey').to_numpy(zero_copy_only=False)
+        keep = (sides == 1) & ~np.isin(tkeys, tkeys[sides == 0])
+        out = table.filter(pa.array(keep))
+        return out.drop_columns(['side', 'tkey'])
+
+    sides = [delta_keyed]
+    touched_with_base = [p for p in touched if p in base_parts]
+    if touched_with_base:
+        base_ds = ray.data.read_parquet(
+            _part_files(base_parts, touched_with_base))
+        sides.append(base_ds.map_batches(tag(0), batch_format='pyarrow'))
+    new_triples = partitioned_reduce(
+        sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0],
+        'mpart', new_only, num_partitions, drop_part=True,
+        coalesce='auto')
+    # materialize: consumed three times (write + node/edge deltas), and
+    # delta-sized — the one intentionally small working set
+    new_triples = new_triples.materialize()
+
+    # -- 3. triples out: carry every base partition, append new rows ----
+    triples_out = os.path.join(out_root, 'triples')
+    os.makedirs(triples_out, exist_ok=True)
+    _carry_partitions(base_triples_dir, triples_out, sorted(base_parts))
+    if new_triples.count():
+        new_triples.map_batches(
+            lambda b: b.rename_columns(
+                [('part' if c == 'mpart' else c) for c in b.column_names]),
+            batch_format='pyarrow',
+        ).write_parquet(triples_out, partition_cols=['part'])
+    appended = sorted({r['mpart'] for r in
+                       new_triples.groupby('mpart').count().take_all()})
+    manifests['triples'] = write_manifest(
+        triples_out, 'triples-merge', fp, _rows_per_partition(triples_out),
+        extra={'appended_partitions': appended,
+               'carried_partitions': sorted(set(base_parts) - set(appended)),
+               'new_rows': new_triples.count()})
+
+    # -- 4. node merge: degree deltas from the NEW triples only ---------
+    plain = new_triples.drop_columns(['mpart'])
+    node_parts, node_touched, node_carried = _merge_sum(
+        os.path.join(base_root, 'nodes'),
+        plain.map_batches(_emit_node_counts, batch_format='pyarrow',
+                          batch_size=8192),
+        ('node_id', 'kind', 'norm'), 'degree',
+        os.path.join(out_root, 'nodes'), num_partitions, 'node_id')
+    manifests['nodes'] = write_manifest(
+        os.path.join(out_root, 'nodes'), 'nodes-merge', fp, node_parts,
+        extra={'merged_partitions': node_touched,
+               'carried_partitions': node_carried})
+
+    # -- 5. edge merge: weight deltas, same shape -----------------------
+    edge_parts, edge_touched, edge_carried = _merge_sum(
+        os.path.join(base_root, 'edges'),
+        plain.map_batches(_emit_edge_counts, batch_format='pyarrow',
+                          batch_size=8192).map_batches(
+            lambda b: b.select(['src', 'dst', 'pred', 'weight']),
+            batch_format='pyarrow'),
+        ('src', 'dst', 'pred'), 'weight',
+        os.path.join(out_root, 'edges'), num_partitions, 'src')
+    manifests['edges'] = write_manifest(
+        os.path.join(out_root, 'edges'), 'edges-merge', fp, edge_parts,
+        extra={'merged_partitions': edge_touched,
+               'carried_partitions': edge_carried})
+
+    return manifests
