@@ -662,6 +662,21 @@ def q_kg_edges(sf_dir):
     return aggregate_edges(triples)
 
 
+def q_kg_comention(sf_dir):
+    """Co-mention edges: undirected entity pairs weighted by the number
+    of conversations both appear in (pipelines/kg.py:co_mention_edges —
+    two pre-shrunk exchanges, numpy triu pair generation per
+    conversation, bounded by MAX_CONV_ENTITIES)."""
+    import ray.data
+    from yargy_ray.pipelines.kg import co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    return co_mention_edges(triples)
+
+
 def q_kg_incremental(sf_dir):
     """Incremental KG maintenance equivalence: build the KG over the
     first 80% of conversations, merge the remaining 20% as a delta
@@ -868,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_nodes': q_kg_nodes,
         'kg_edges': q_kg_edges,
         'kg_incremental': q_kg_incremental,
+        'kg_comention': q_kg_comention,
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'kg_mentions_docscope': q_kg_mentions_docscope,
@@ -1461,6 +1477,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT SUBSTR(MD5(kind || ':' || norm), 1, 16) AS node_id,
                kind, norm, COUNT(*) AS degree
         FROM incid GROUP BY kind, norm
+    """
+    # co-mention pairs: distinct per-conversation entity sets self-join
+    # (a < b under binary collation == numpy codepoint order for UTF-8).
+    # conv_id recovery: turn-uid subjects carry it; the has_position
+    # person subj is always paired with a same-sentence mentions_person
+    # obj (UNION dedups), so only the position entity needs its own
+    # sentence-level branch.
+    out['kg_comention'] = f"""
+        WITH {_triples_cte()}, ents AS (
+            SELECT DISTINCT SPLIT_PART(subj, ':', 1) AS conv_id,
+                   (CASE pred
+                        WHEN 'mentions_date' THEN 'date'
+                        WHEN 'mentions_amount' THEN 'amount'
+                        WHEN 'mentions_person' THEN 'person'
+                        WHEN 'mentions_address' THEN 'address'
+                        WHEN 'mentions_title' THEN 'title'
+                        WHEN 'cites_clause' THEN 'clause'
+                        ELSE 'value' END) || ':' || obj AS ent
+            FROM trip WHERE pred <> 'has_position'
+            UNION
+            SELECT DISTINCT conv_id,
+                   'position:' || REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 1) AS ent
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^на встрече был [а-яё]+ [А-ЯЁ][а-яё]+ [А-ЯЁ][а-яё]+$')
+        )
+        SELECT SUBSTR(MD5(x.ent), 1, 16) AS src,
+               SUBSTR(MD5(y.ent), 1, 16) AS dst,
+               COUNT(*) AS weight
+        FROM ents x JOIN ents y
+          ON x.conv_id = y.conv_id AND x.ent < y.ent
+        GROUP BY x.ent, y.ent
     """
     return out
 

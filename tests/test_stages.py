@@ -551,3 +551,47 @@ def test_hash_join(ray_session):
     assert out['x'].tolist() == ['a', 'b', 'c']
     assert out['x_r'].tolist() == ['R1', 'R1', 'R2']
     assert out['w'].tolist() == [10, 10, 20]
+
+
+def test_co_mention_edges(ray_session):
+    """Pairs weighted by conversations of co-occurrence; turn subjects
+    excluded; pair key ordered; cap trims deterministically."""
+    import itertools
+
+    import ray.data
+    from yargy_ray.pipelines.kg import co_mention_edges, node_id_of
+
+    triples = pa.table({
+        'conv_id': ['c1', 'c1', 'c1', 'c2', 'c2', 'c3'],
+        'subj': ['c1:0', 'c1:1', 'иван иванов', 'c2:0', 'c2:1', 'c3:0'],
+        'pred': ['mentions_date', 'mentions_person', 'has_position',
+                 'mentions_date', 'mentions_person', 'mentions_date'],
+        'obj': ['2020-01-01', 'иван иванов', 'директор',
+                '2020-01-01', 'иван иванов', '2020-01-01'],
+    })
+    ds = ray.data.from_arrow(triples)
+    got = co_mention_edges(ds, num_partitions=4).to_pandas()
+    got = got.sort_values(['src', 'dst']).reset_index(drop=True)
+
+    # expected: per-conv entity sets (kind:norm), all unordered pairs
+    ents = {
+        'c1': {'date:2020-01-01', 'person:иван иванов',
+               'position:директор'},
+        'c2': {'date:2020-01-01', 'person:иван иванов'},
+        'c3': {'date:2020-01-01'},
+    }
+    from collections import Counter
+    expected = Counter()
+    for conv, es in ents.items():
+        for a, b in itertools.combinations(sorted(es), 2):
+            expected[(a, b)] += 1
+    want = sorted((node_id_of(a), node_id_of(b), w)
+                  for (a, b), w in expected.items())
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    # cap: max_entities=2 keeps only the first 2 entities per conv
+    capped = co_mention_edges(ds, num_partitions=4,
+                              max_entities=2).to_pandas()
+    # c1's sorted entities: date, person, position -> only (date, person)
+    assert len(capped) == 1
+    assert capped.iloc[0]['weight'] == 2  # c1 and c2

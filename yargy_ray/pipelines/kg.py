@@ -399,3 +399,120 @@ def run_kg_pipeline(transcripts_path, out_root,
 def top_degree_nodes(nodes_ds, k=20):
     """Metrics: top-k nodes by degree (sort + limit on the small side)."""
     return nodes_ds.sort('degree', descending=True).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Co-mention edges
+# ---------------------------------------------------------------------------
+
+def _emit_conv_entities(batch: pa.Table) -> pa.Table:
+    """Triples -> distinct (conv_id, kind, norm) entity incidences.
+
+    Entities are the non-``turn`` endpoints: every object node, plus
+    the person subject of ``has_position``. Map-side distinct (Arrow
+    hash groupby) shrinks the exchange to the per-batch entity sets.
+    """
+    pred = batch.column('pred')
+    person_rows = batch.filter(pc.equal(pred, 'has_position'))
+    incid = pa.concat_tables([
+        pa.table({'conv_id': person_rows.column('conv_id'),
+                  'kind': pa.array(['person'] * person_rows.num_rows,
+                                   type=pa.string()),
+                  'norm': person_rows.column('subj')}),
+        pa.table({'conv_id': batch.column('conv_id'),
+                  'kind': _obj_kind(pred),
+                  'norm': batch.column('obj')}),
+    ])
+    return pa.TableGroupBy(incid, ['conv_id', 'kind', 'norm']).aggregate([])
+
+
+MAX_CONV_ENTITIES = 4096  # bounded-work cap: a conversation mentioning
+# E distinct entities emits E*(E-1)/2 pairs; cap keeps one pathological
+# conversation from emitting O(E^2) rows (deterministic trim: first E
+# by (kind, norm) sort order; capped convs are counted in the output)
+
+
+def co_mention_edges(triples_ds, num_partitions=64,
+                     max_entities=MAX_CONV_ENTITIES):
+    """Undirected co-occurrence edges between canonical entities
+    mentioned in the SAME conversation: (src, dst, weight) where weight
+    counts the conversations in which both entities appear and
+    src/dst are the node-table content-hash ids (src < dst by the
+    entity sort key, so each pair surfaces exactly once).
+
+    Two exchanges, both pre-shrunk map-side: (1) distinct entity
+    incidences co-partitioned on ``hash(conv_id)`` — per-conversation
+    pair generation is numpy ``triu_indices`` over each conversation's
+    slice of the lexsorted partition; (2) pair rows co-partitioned on
+    the pair key to sum weights (a pair of entities can co-occur in
+    conversations living in different partitions).
+    """
+    import numpy as np
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    incid = triples_ds.map_batches(
+        _emit_conv_entities, batch_format='pyarrow', batch_size=8192)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            'ckey', _hash64(batch.column('conv_id')))
+
+    def pairs_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['conv_id', 'kind', 'norm']).to_pandas()
+        df = df.drop_duplicates(['conv_id', 'kind', 'norm'])
+        ent = df['kind'] + ':' + df['norm']
+        order = np.lexsort((ent.to_numpy(), df['conv_id'].to_numpy()))
+        convs = df['conv_id'].to_numpy()[order]
+        ents = ent.to_numpy()[order]
+        boundaries = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+        starts = np.concatenate(([0], boundaries))
+        stops = np.concatenate((boundaries, [len(convs)]))
+        a_parts, b_parts = [], []
+        for start, stop in zip(starts, stops):
+            k = min(stop - start, max_entities)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            a_parts.append(ents[start:start + k][i])
+            b_parts.append(ents[start:start + k][j])
+        if not a_parts:
+            return pa.table({'a': pa.array([], type=pa.string()),
+                             'b': pa.array([], type=pa.string()),
+                             'weight': pa.array([], type=pa.int64())})
+        out = pa.table({'a': pa.array(np.concatenate(a_parts)),
+                        'b': pa.array(np.concatenate(b_parts))})
+        # combine within the partition: a pair co-occurring in several
+        # of this partition's conversations becomes one weighted row
+        agg = pa.TableGroupBy(out, ['a', 'b']).aggregate([([], 'count_all')])
+        return agg.rename_columns(['a', 'b', 'weight'])
+
+    pairs = partitioned_reduce(
+        incid.map_batches(keyed, batch_format='pyarrow'),
+        'ckey', pairs_fn, num_partitions, coalesce='auto')
+
+    def pair_keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('pkey', _hash64(batch.column('a')))
+
+    def sum_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['a', 'b', 'weight']).to_pandas()
+        agg = df.groupby(['a', 'b'], sort=False,
+                         as_index=False)['weight'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    summed = partitioned_reduce(
+        pairs.map_batches(pair_keyed, batch_format='pyarrow'),
+        'pkey', sum_fn, num_partitions, coalesce='auto')
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'src': pa.array([node_id_of(v) for v in
+                             batch.column('a').to_pylist()],
+                            type=pa.string()),
+            'dst': pa.array([node_id_of(v) for v in
+                             batch.column('b').to_pylist()],
+                            type=pa.string()),
+            'weight': batch.column('weight').cast(pa.int64()),
+        })
+
+    return summed.map_batches(to_ids, batch_format='pyarrow')
