@@ -677,6 +677,22 @@ def q_kg_comention(sf_dir):
     return co_mention_edges(triples)
 
 
+def q_kg_two_hop(sf_dir):
+    """Graph analytics: per-node count of distinct nodes reachable in
+    exactly two directed hops over the KG edge table (e.g. turn ->
+    mentioned person -> their position). stages/graph.py:two_hop_counts
+    — two exchanges, vectorized in-partition merges."""
+    import ray.data
+    from yargy_ray.pipelines.kg import aggregate_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    from yargy_ray.stages.graph import two_hop_counts
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    return two_hop_counts(aggregate_edges(triples))
+
+
 def q_kg_incremental(sf_dir):
     """Incremental KG maintenance equivalence: build the KG over the
     first 80% of conversations, merge the remaining 20% as a delta
@@ -884,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_edges': q_kg_edges,
         'kg_incremental': q_kg_incremental,
         'kg_comention': q_kg_comention,
+        'kg_two_hop': q_kg_two_hop,
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'kg_mentions_docscope': q_kg_mentions_docscope,
@@ -1511,6 +1528,31 @@ def oracle_sql() -> dict[str, str]:
         FROM ents x JOIN ents y
           ON x.conv_id = y.conv_id AND x.ent < y.ent
         GROUP BY x.ent, y.ent
+    """
+    # 2-hop reach over the distinct KG edge set (same endpoint-id
+    # derivation as kg_edges)
+    out['kg_two_hop'] = f"""
+        WITH {_triples_cte()}, e AS (
+            SELECT DISTINCT
+                SUBSTR(MD5(
+                    (CASE WHEN pred = 'has_position' THEN 'person'
+                          ELSE 'turn' END) || ':' || subj), 1, 16) AS src,
+                SUBSTR(MD5(
+                    (CASE pred
+                         WHEN 'mentions_date' THEN 'date'
+                         WHEN 'mentions_amount' THEN 'amount'
+                         WHEN 'mentions_person' THEN 'person'
+                         WHEN 'mentions_address' THEN 'address'
+                         WHEN 'mentions_title' THEN 'title'
+                         WHEN 'cites_clause' THEN 'clause'
+                         WHEN 'has_position' THEN 'position'
+                         ELSE 'value' END) || ':' || obj), 1, 16) AS dst
+            FROM trip
+        )
+        SELECT e1.src AS node_id, COUNT(DISTINCT e2.dst) AS two_hop
+        FROM e e1 JOIN e e2
+          ON e1.dst = e2.src AND e2.dst <> e1.src
+        GROUP BY e1.src
     """
     return out
 

@@ -595,3 +595,24 @@ def test_co_mention_edges(ray_session):
     # c1's sorted entities: date, person, position -> only (date, person)
     assert len(capped) == 1
     assert capped.iloc[0]['weight'] == 2  # c1 and c2
+
+
+def test_two_hop_counts(ray_session):
+    """a->b->c, a->b->d, b->c->a, plus a 2-hop path returning to its
+    start (excluded) and a diamond (distinct count, not path count)."""
+    import ray.data
+    from yargy_ray.stages.graph import two_hop_counts
+
+    edges = pa.table({
+        'src': ['a', 'b', 'b', 'c', 'a', 'x', 'y'],
+        'dst': ['b', 'c', 'd', 'a', 'x', 'c', 'a'],
+    })
+    got = two_hop_counts(ray.data.from_arrow(edges),
+                         num_partitions=4).to_pandas()
+    got = dict(zip(got.node_id, got.two_hop))
+    # a: via b -> {c,d}, via x -> {c} => {c,d} = 2 (diamond on c)
+    # b: via c -> {a}, via d -> {} => 1
+    # c: via a -> {b,x} => 2
+    # x: via c -> {a} => 1
+    # y: via a -> {b,x} => 2
+    assert got == {'a': 2, 'b': 1, 'c': 2, 'x': 1, 'y': 2}

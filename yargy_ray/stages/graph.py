@@ -209,3 +209,70 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
     finally:
         if own_dir:
             shutil.rmtree(edges_dir, ignore_errors=True)
+
+
+def two_hop_counts(edges_ds, num_partitions=64):
+    """Per-node count of DISTINCT nodes reachable in exactly two
+    directed hops (src -> mid -> dst, dst != src).
+
+    Scale shape: two exchanges. (1) Both edge roles are tagged and
+    co-partitioned on ``hash(mid)``; each partition joins its complete
+    mid-groups with one vectorized pandas merge (joining on the mid
+    STRING inside the partition — the 64-bit key only routes, so hash
+    collisions cannot corrupt results). (2) The (src, dst) candidate
+    pairs re-partition on ``hash(src)`` for a global distinct + count.
+    A hub node of in-degree i and out-degree o contributes i*o pairs —
+    the same skew profile as the dedup buckets; cap mids upstream if a
+    graph has degree hubs beyond partition memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            # side 0: edge in the first-hop role (keyed by its dst=mid)
+            # side 1: edge in the second-hop role (keyed by its src=mid)
+            mid = batch.column('dst' if side == 0 else 'src')
+            other = batch.column('src' if side == 0 else 'dst')
+            return pa.table({
+                'mid': mid,
+                'other': other,
+                'side': pa.array(np.full(batch.num_rows, side,
+                                         dtype=np.int8)),
+                'mkey': _hash64(mid),
+            })
+        return fn
+
+    tagged = (edges_ds.map_batches(tag(0), batch_format='pyarrow')
+              .union(edges_ds.map_batches(tag(1),
+                                          batch_format='pyarrow')))
+
+    def join_mid(table: pa.Table) -> pa.Table:
+        df = table.select(['mid', 'other', 'side']).to_pandas()
+        left = df[df['side'] == 0][['mid', 'other']].rename(
+            columns={'other': 'src'}).drop_duplicates()
+        right = df[df['side'] == 1][['mid', 'other']].rename(
+            columns={'other': 'dst'}).drop_duplicates()
+        pairs = left.merge(right, on='mid')[['src', 'dst']]
+        pairs = pairs[pairs['src'] != pairs['dst']].drop_duplicates()
+        return pa.Table.from_pandas(pairs, preserve_index=False)
+
+    pairs = partitioned_reduce(tagged, 'mkey', join_mid, num_partitions,
+                               coalesce='auto')
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('skey', _hash64(batch.column('src')))
+
+    def count_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['src', 'dst']).to_pandas().drop_duplicates()
+        agg = df.groupby('src', sort=False, as_index=False)['dst'].count()
+        return pa.Table.from_pandas(
+            agg.rename(columns={'src': 'node_id', 'dst': 'two_hop'}),
+            preserve_index=False)
+
+    return partitioned_reduce(
+        pairs.map_batches(keyed, batch_format='pyarrow'),
+        'skey', count_fn, num_partitions, coalesce='auto')
