@@ -69,9 +69,9 @@ _ROWS_TOTAL = re.compile(r'Output num rows per block:.*?(\d+) total')
 _BYTES_TOTAL = re.compile(r'Output size bytes per block:.*?(\d+) total')
 # exchange-shaped operators: their output bytes approximate the data
 # that crossed the all-to-all boundary (what a multi-node cluster
-# would put on the network)
-_SHUFFLE_OPS = re.compile(r'Aggregate|Repartition|Sort|Shuffle|split',
-                          re.IGNORECASE)
+# would put on the network). NOTE: must not match plain map operators
+# like ReadParquet->SplitBlocks(n) (block splitting is node-local).
+_SHUFFLE_OPS = re.compile(r'Aggregate|Repartition|Sort|Shuffle')
 
 
 def parse_stage_stats(stats_str):
@@ -164,6 +164,7 @@ SECONDARY_PICKS = [
     'emb_topk', 'sessionize', 'tumbling_window',
     'asof_purchase', 'session_assign', 'hopping_window',
     'priority_revenue', 'user_value_quantiles', 'doc_reconstruct',
+    'kg_comention', 'kg_two_hop',
 ]
 
 

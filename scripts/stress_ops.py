@@ -93,6 +93,50 @@ def main():
     out['connected_components'] = {
         'nodes': 4 * k, 'components': n_comp, 'sec': round(el, 1)}
 
+    # co-mention: 300k conversations x 8 entities from a 10k pool
+    # -> 8.4M raw pair emissions through two exchanges
+    n_convs, ents_per = 300_000, 8
+    rng = np.random.RandomState(7)
+    conv = np.repeat(np.arange(n_convs), ents_per)
+    pool = np.array([f'ent-{i:05d}' for i in range(10_000)], dtype=object)
+    trip = ray.data.from_arrow(pa.table({
+        'conv_id': pa.array(np.char.mod('c%07d', conv.astype(np.int64)),
+                            type=pa.string()),
+        'subj': pa.array(np.char.mod('c%07d:0', conv.astype(np.int64)),
+                         type=pa.string()),
+        'pred': pa.array(['mentions_person'] * len(conv),
+                         type=pa.string()),
+        'obj': pa.array(pool[rng.randint(0, len(pool), len(conv))],
+                        type=pa.string()),
+    })).repartition(64).materialize()
+    from yargy_ray.pipelines.kg import co_mention_edges
+    start = time.time()
+    n_edges = co_mention_edges(trip, num_partitions=64).count()
+    el = time.time() - start
+    out['co_mention_edges'] = {
+        'convs': n_convs, 'edges': n_edges, 'sec': round(el, 1),
+        'pairs_per_sec': round(n_convs * ents_per * (ents_per - 1) / 2
+                               / el)}
+
+    # two-hop: 2M random edges over 500k nodes (avg degree 4 -> ~32M
+    # candidate pairs through the mid-join)
+    from yargy_ray.stages.graph import two_hop_counts
+    m, nn = 2_000_000, 500_000
+    g = ray.data.from_arrow(pa.table({
+        'src': pa.array(np.char.mod('n%06d',
+                                    rng.randint(0, nn, m)),
+                        type=pa.string()),
+        'dst': pa.array(np.char.mod('n%06d',
+                                    rng.randint(0, nn, m)),
+                        type=pa.string()),
+    })).repartition(64).materialize()
+    start = time.time()
+    n_nodes = two_hop_counts(g, num_partitions=64).count()
+    el = time.time() - start
+    out['two_hop_counts'] = {
+        'edges': m, 'nodes_out': n_nodes, 'sec': round(el, 1),
+        'edges_per_sec': round(m / el)}
+
     print(json.dumps(out))
     if '--record' in sys.argv:
         path = os.path.join(os.path.dirname(os.path.dirname(
