@@ -693,6 +693,39 @@ def q_kg_two_hop(sf_dir):
     return two_hop_counts(aggregate_edges(triples))
 
 
+def q_kg_communities(sf_dir):
+    """Entity communities: connected components over the STRONG
+    co-mention graph (weight >= 2, i.e. entities co-appearing in at
+    least two conversations) — the same pointer-jumped min-label
+    operator that clusters near-dups, bound to the KG surface. Node
+    keys are the first 60 bits of the md5 node id (SQL-reproducible:
+    ('0x' || SUBSTR(id, 1, 15))::BIGINT)."""
+    import ray.data
+    from yargy_ray.pipelines.kg import co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    from yargy_ray.stages.graph import connected_components
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    strong = co_mention_edges(triples).filter(expr='weight >= 2')
+
+    def to_int_keys(batch: pa.Table) -> pa.Table:
+        # 15 hex chars < 2^60: positive int64 both here and in SQL;
+        # runs over DISTINCT strong edges only (bounded small side)
+        return pa.table({
+            'a': pa.array([int(s[:15], 16) for s in
+                           batch.column('src').to_pylist()],
+                          type=pa.int64()),
+            'b': pa.array([int(s[:15], 16) for s in
+                           batch.column('dst').to_pylist()],
+                          type=pa.int64()),
+        })
+
+    pairs = strong.map_batches(to_int_keys, batch_format='pyarrow')
+    return connected_components(pairs, num_partitions=16)
+
+
 def q_kg_incremental(sf_dir):
     """Incremental KG maintenance equivalence: build the KG over the
     first 80% of conversations, merge the remaining 20% as a delta
@@ -901,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_incremental': q_kg_incremental,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
+        'kg_communities': q_kg_communities,
         'kg_linked': q_kg_linked,
         'doc_reconstruct': q_doc_reconstruct,
         'kg_mentions_docscope': q_kg_mentions_docscope,
@@ -1528,6 +1562,48 @@ def oracle_sql() -> dict[str, str]:
         FROM ents x JOIN ents y
           ON x.conv_id = y.conv_id AND x.ent < y.ent
         GROUP BY x.ent, y.ent
+    """
+    # entity communities: recursive min-label walk over the strong
+    # (weight >= 2) co-mention graph; int node keys = first 60 bits of
+    # the md5 node id, mirroring q_kg_communities
+    out['kg_communities'] = f"""
+        WITH RECURSIVE {_triples_cte()}, ents AS (
+            SELECT DISTINCT SPLIT_PART(subj, ':', 1) AS conv_id,
+                   (CASE pred
+                        WHEN 'mentions_date' THEN 'date'
+                        WHEN 'mentions_amount' THEN 'amount'
+                        WHEN 'mentions_person' THEN 'person'
+                        WHEN 'mentions_address' THEN 'address'
+                        WHEN 'mentions_title' THEN 'title'
+                        WHEN 'cites_clause' THEN 'clause'
+                        ELSE 'value' END) || ':' || obj AS ent
+            FROM trip WHERE pred <> 'has_position'
+            UNION
+            SELECT DISTINCT conv_id,
+                   'position:' || REGEXP_EXTRACT(sent,
+                       '^на встрече был ([а-яё]+) ([А-ЯЁ][а-яё]+)'
+                       || ' ([А-ЯЁ][а-яё]+)$', 1) AS ent
+            FROM sents
+            WHERE REGEXP_MATCHES(sent,
+                '^на встрече был [а-яё]+ [А-ЯЁ][а-яё]+ [А-ЯЁ][а-яё]+$')
+        ), strong AS (
+            SELECT ('0x' || SUBSTR(MD5(x.ent), 1, 15))::BIGINT AS a,
+                   ('0x' || SUBSTR(MD5(y.ent), 1, 15))::BIGINT AS b
+            FROM ents x JOIN ents y
+              ON x.conv_id = y.conv_id AND x.ent < y.ent
+            GROUP BY x.ent, y.ent
+            HAVING COUNT(*) >= 2
+        ), cedges AS (
+            SELECT a AS src, b AS dst FROM strong
+            UNION ALL SELECT b, a FROM strong
+        ), verts AS (SELECT DISTINCT src AS node FROM cedges),
+        walk(node, comp) AS (
+            SELECT node, node FROM verts
+            UNION
+            SELECT e.dst, w.comp
+            FROM walk w JOIN cedges e ON e.src = w.node
+        )
+        SELECT node, MIN(comp) AS component FROM walk GROUP BY node
     """
     # 2-hop reach over the distinct KG edge set (same endpoint-id
     # derivation as kg_edges)
