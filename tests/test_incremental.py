@@ -117,3 +117,37 @@ def test_empty_delta(split_corpus, tmp_path):
         base = _canon(f'{root}/kg_base/{table}', cols)
         merged = _canon(f'{out}/{table}', cols)
         assert base.equals(merged), table
+
+
+def test_merge_resume_and_crash_recovery(split_corpus, tmp_path):
+    """A rerun of a completed merge is a no-op; a crashed stage (no
+    manifest, stray partial files) is cleared and rebuilt."""
+    import glob
+    import os
+
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+
+    root, full, base_t, delta_t = split_corpus
+    out = str(tmp_path / 'kg_resume')
+    first = merge_kg_delta(f'{root}/kg_base', delta_t, out,
+                           concurrency=(1, 2), num_partitions=16)
+    second = merge_kg_delta(f'{root}/kg_base', delta_t, out,
+                            concurrency=(1, 2), num_partitions=16)
+    for stage in first:
+        assert second[stage]['written_at'] == first[stage]['written_at']
+
+    # simulate a crash mid-edges: drop the manifest, plant a stale file
+    os.remove(f'{out}/edges/_MANIFEST.json')
+    stray_dir = glob.glob(f'{out}/edges/part=*')[0]
+    stray = os.path.join(stray_dir, 'zz_partial_crash.parquet')
+    with open(stray, 'wb') as f:
+        f.write(b'garbage')
+    third = merge_kg_delta(f'{root}/kg_base', delta_t, out,
+                           concurrency=(1, 2), num_partitions=16)
+    assert not os.path.exists(stray)
+    assert third['edges']['rows_out'] == first['edges']['rows_out']
+    # triples/nodes manifests matched the fingerprint and were skipped
+    assert third['triples']['written_at'] == first['triples']['written_at']
+    cols = ['src', 'dst', 'pred', 'weight']
+    assert _canon(f'{out}/edges', cols).equals(
+        _canon(f'{root}/kg_merged/edges', cols))

@@ -54,7 +54,12 @@ from yargy_ray.pipelines.kg import (
     dedup_triples,
     extract_triples,
 )
-from yargy_ray.state.manifests import fingerprint, write_manifest
+from yargy_ray.state.manifests import (
+    fingerprint,
+    load_manifest,
+    run_stage,
+    stage_is_complete,
+)
 
 
 def _part_of(column, num_partitions):
@@ -154,7 +159,7 @@ def _merge_sum(base_dir, delta_partials, key_cols, sum_col, out_dir,
 def merge_kg_delta(base_root, delta_transcripts_path, out_root,
                    factory_paths=DEFAULT_FACTORIES,
                    concurrency=(1, 8), batch_size=128,
-                   num_partitions=16):
+                   num_partitions=16, resume=True):
     """Merge newly-arrived transcripts into an existing KG build.
 
     ``base_root`` is a completed :func:`~yargy_ray.pipelines.kg
@@ -162,6 +167,11 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
     Writes the merged graph under ``out_root`` and returns the stage
     manifests. Exactly equivalent to a full rebuild over the combined
     corpus (see module docstring).
+
+    Each output is a checkpointed stage (``state/manifests.run_stage``):
+    a crashed merge reruns cleanly — half-written outputs without a
+    matching manifest are cleared, completed stages are skipped, and a
+    rerun of a fully-merged delta is a no-op.
     """
     import ray.data
 
@@ -169,6 +179,11 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
 
     fp = fingerprint('kg-merge', base_root, delta_transcripts_path,
                      tuple(factory_paths), num_partitions)
+    stage_dirs = {name: os.path.join(out_root, name)
+                  for name in ('triples', 'nodes', 'edges')}
+    if resume and all(stage_is_complete(d, fp)
+                      for d in stage_dirs.values()):
+        return {name: load_manifest(d) for name, d in stage_dirs.items()}
     manifests = {}
 
     # -- 1. delta-local triples (extract + in-delta dedup), keyed by
@@ -234,48 +249,60 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
     new_triples = new_triples.materialize()
 
     # -- 3. triples out: carry every base partition, append new rows ----
-    triples_out = os.path.join(out_root, 'triples')
-    os.makedirs(triples_out, exist_ok=True)
-    _carry_partitions(base_triples_dir, triples_out, sorted(base_parts))
-    if new_triples.count():
-        new_triples.map_batches(
-            lambda b: b.rename_columns(
-                [('part' if c == 'mpart' else c) for c in b.column_names]),
-            batch_format='pyarrow',
-        ).write_parquet(triples_out, partition_cols=['part'])
-    appended = sorted({r['mpart'] for r in
-                       new_triples.groupby('mpart').count().take_all()})
-    manifests['triples'] = write_manifest(
-        triples_out, 'triples-merge', fp, _rows_per_partition(triples_out),
-        extra={'appended_partitions': appended,
-               'carried_partitions': sorted(set(base_parts) - set(appended)),
-               'new_rows': new_triples.count()})
+    def build_triples(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        _carry_partitions(base_triples_dir, out_dir, sorted(base_parts))
+        if new_triples.count():
+            new_triples.map_batches(
+                lambda b: b.rename_columns(
+                    [('part' if c == 'mpart' else c)
+                     for c in b.column_names]),
+                batch_format='pyarrow',
+            ).write_parquet(out_dir, partition_cols=['part'])
+        appended = sorted({r['mpart'] for r in
+                           new_triples.groupby('mpart').count()
+                           .take_all()})
+        return _rows_per_partition(out_dir), {
+            'appended_partitions': appended,
+            'carried_partitions': sorted(set(base_parts) - set(appended)),
+            'new_rows': new_triples.count()}
+
+    manifests['triples'] = run_stage(
+        'triples-merge', stage_dirs['triples'], fp, build_triples,
+        resume=resume)
 
     # -- 4. node merge: degree deltas from the NEW triples only ---------
     plain = new_triples.drop_columns(['mpart'])
-    node_parts, node_touched, node_carried = _merge_sum(
-        os.path.join(base_root, 'nodes'),
-        plain.map_batches(_emit_node_counts, batch_format='pyarrow',
-                          batch_size=8192),
-        ('node_id', 'kind', 'norm'), 'degree',
-        os.path.join(out_root, 'nodes'), num_partitions, 'node_id')
-    manifests['nodes'] = write_manifest(
-        os.path.join(out_root, 'nodes'), 'nodes-merge', fp, node_parts,
-        extra={'merged_partitions': node_touched,
-               'carried_partitions': node_carried})
+
+    def build_nodes(out_dir):
+        parts, touched, carried = _merge_sum(
+            os.path.join(base_root, 'nodes'),
+            plain.map_batches(_emit_node_counts, batch_format='pyarrow',
+                              batch_size=8192),
+            ('node_id', 'kind', 'norm'), 'degree',
+            out_dir, num_partitions, 'node_id')
+        return parts, {'merged_partitions': touched,
+                       'carried_partitions': carried}
+
+    manifests['nodes'] = run_stage(
+        'nodes-merge', stage_dirs['nodes'], fp, build_nodes,
+        resume=resume)
 
     # -- 5. edge merge: weight deltas, same shape -----------------------
-    edge_parts, edge_touched, edge_carried = _merge_sum(
-        os.path.join(base_root, 'edges'),
-        plain.map_batches(_emit_edge_counts, batch_format='pyarrow',
-                          batch_size=8192).map_batches(
-            lambda b: b.select(['src', 'dst', 'pred', 'weight']),
-            batch_format='pyarrow'),
-        ('src', 'dst', 'pred'), 'weight',
-        os.path.join(out_root, 'edges'), num_partitions, 'src')
-    manifests['edges'] = write_manifest(
-        os.path.join(out_root, 'edges'), 'edges-merge', fp, edge_parts,
-        extra={'merged_partitions': edge_touched,
-               'carried_partitions': edge_carried})
+    def build_edges(out_dir):
+        parts, touched, carried = _merge_sum(
+            os.path.join(base_root, 'edges'),
+            plain.map_batches(_emit_edge_counts, batch_format='pyarrow',
+                              batch_size=8192).map_batches(
+                lambda b: b.select(['src', 'dst', 'pred', 'weight']),
+                batch_format='pyarrow'),
+            ('src', 'dst', 'pred'), 'weight',
+            out_dir, num_partitions, 'src')
+        return parts, {'merged_partitions': touched,
+                       'carried_partitions': carried}
+
+    manifests['edges'] = run_stage(
+        'edges-merge', stage_dirs['edges'], fp, build_edges,
+        resume=resume)
 
     return manifests

@@ -76,8 +76,10 @@ def run_stage(stage, out_dir, input_fingerprint, producer, resume=True):
     """Run ``producer(out_dir) -> partitions`` unless already checkpointed.
 
     ``producer`` must write partitioned output under ``out_dir`` and
-    return the per-partition manifest rows. Idempotent: reruns with the
-    same fingerprint are skipped; stale outputs are overwritten.
+    return the per-partition manifest rows — or a ``(partitions,
+    extra)`` tuple to record additional manifest fields. Idempotent:
+    reruns with the same fingerprint are skipped; stale outputs are
+    overwritten.
     """
     if resume and stage_is_complete(out_dir, input_fingerprint):
         return load_manifest(out_dir)
@@ -90,4 +92,8 @@ def run_stage(stage, out_dir, input_fingerprint, producer, resume=True):
         import shutil
         shutil.rmtree(out_dir)
     partitions = producer(out_dir)
-    return write_manifest(out_dir, stage, input_fingerprint, partitions)
+    extra = None
+    if isinstance(partitions, tuple):
+        partitions, extra = partitions
+    return write_manifest(out_dir, stage, input_fingerprint, partitions,
+                          extra=extra)
