@@ -693,6 +693,71 @@ def q_kg_two_hop(sf_dir):
     return two_hop_counts(aggregate_edges(triples))
 
 
+def q_cust_no_urgent(sf_dir):
+    """ANTI join (stages/joins.py:hash_join how='anti'): customers with
+    NO 1-URGENT order — the exact complement of cust_urgent_semi; only
+    the key column of the right side ships through the exchange."""
+    from yargy_ray.stages.joins import hash_join
+    customer = _read(sf_dir, 'customer').select_columns(
+        ['c_custkey', 'c_name'])
+    urgent = _read(sf_dir, 'orders').filter(
+        expr="o_orderpriority == '1-URGENT'").select_columns(
+        ['o_custkey']).map_batches(
+        lambda b: _rename(b, {'o_custkey': 'c_custkey'}),
+        batch_format='pyarrow')
+    return hash_join(customer, urgent, on='c_custkey', how='anti')
+
+
+def q_cust_urgent_semi(sf_dir):
+    """SEMI join: customers with at least one 1-URGENT order (no row
+    duplication however many urgent orders they have)."""
+    from yargy_ray.stages.joins import hash_join
+    customer = _read(sf_dir, 'customer').select_columns(
+        ['c_custkey', 'c_name', 'c_mktsegment'])
+    urgent = _read(sf_dir, 'orders').filter(
+        expr="o_orderpriority == '1-URGENT'").select_columns(
+        ['o_custkey']).map_batches(
+        lambda b: _rename(b, {'o_custkey': 'c_custkey'}),
+        batch_format='pyarrow')
+    return hash_join(customer, urgent, on='c_custkey', how='semi')
+
+
+def q_cust_totals_left(sf_dir):
+    """LEFT OUTER join: every customer with their total order value in
+    cents — customers without orders survive with NULL totals. Right
+    side pre-aggregated map-side, so the exchange carries one row per
+    (custkey, partial) not one per order."""
+    from yargy_ray.stages.joins import hash_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # map-side combine: one partial row per custkey per batch
+        partial = pa.table({
+            'c_custkey': batch.column('o_custkey'),
+            'total_cents': _cents(
+                pc.cast(batch.column('o_totalprice'), pa.float64())),
+        })
+        return pa.TableGroupBy(partial, 'c_custkey').aggregate(
+            [('total_cents', 'sum')]).rename_columns(
+            ['c_custkey', 'total_cents'])
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def sum_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['c_custkey', 'total_cents']).to_pandas()
+        agg = df.groupby('c_custkey', sort=False,
+                         as_index=False)['total_cents'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    totals = partitioned_reduce(
+        _read(sf_dir, 'orders').select_columns(
+            ['o_custkey', 'o_totalprice']).map_batches(
+            prep, batch_format='pyarrow'),
+        'c_custkey', sum_fn, num_partitions=16, coalesce='auto')
+    customer = _read(sf_dir, 'customer').select_columns(
+        ['c_custkey', 'c_name'])
+    return hash_join(customer, totals, on='c_custkey', how='left')
+
+
 def q_kg_communities(sf_dir):
     """Entity communities: connected components over the STRONG
     co-mention graph (weight >= 2, i.e. entities co-appearing in at
@@ -927,6 +992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'vocab_counts': q_vocab_counts,
         'topk_orders_per_cust': q_topk_orders_per_cust,
         'session_assign': q_session_assign,
+        'cust_no_urgent': q_cust_no_urgent,
+        'cust_urgent_semi': q_cust_urgent_semi,
+        'cust_totals_left': q_cust_totals_left,
         'kg_triples': q_kg_triples,
         'kg_address': q_kg_address,
         'kg_nodes': q_kg_nodes,
@@ -1847,6 +1915,27 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        'cust_no_urgent': """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        'cust_urgent_semi': """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        'cust_totals_left': """
+            SELECT c.c_custkey, c.c_name, t.total_cents
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS total_cents
+                FROM orders GROUP BY o_custkey
+            ) t ON t.o_custkey = c.c_custkey
         """,
         'doc_bpe_tokens': "SELECT doc_id, CAST(LEN(regexp_extract_all(text, $$'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$$)) AS BIGINT) AS n_bpe_tokens FROM documents",
         'tumbling_window': """

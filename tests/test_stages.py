@@ -616,3 +616,43 @@ def test_two_hop_counts(ray_session):
     # x: via c -> {a} => 1
     # y: via a -> {b,x} => 2
     assert got == {'a': 2, 'b': 1, 'c': 2, 'x': 1, 'y': 2}
+
+
+def test_hash_join_variants(ray_session):
+    """left / semi / anti modes: null-filled outer rows, no semi
+    duplication, exact anti complement, empty-right behavior."""
+    import ray.data
+
+    from yargy_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        'k': [1, 2, 3, 4], 'v': ['a', 'b', 'c', 'd']}))
+    right = ray.data.from_arrow(pa.table({
+        'k': [2, 2, 4], 'w': ['x', 'x2', 'y']}))
+
+    lj = hash_join(left, right, on='k', how='left',
+                   num_partitions=4).to_pandas().sort_values(
+        ['k', 'w']).reset_index(drop=True)
+    # 2 matches twice (two right rows), 1 and 3 survive with nulls
+    assert len(lj) == 5
+    assert lj[lj.k == 1].w.isna().all() and lj[lj.k == 3].w.isna().all()
+    assert sorted(lj[lj.k == 2].w) == ['x', 'x2']
+
+    semi = hash_join(left, right, on='k', how='semi',
+                     num_partitions=4).to_pandas()
+    assert sorted(semi.k) == [2, 4]          # no duplication
+    assert list(semi.columns) == ['k', 'v']  # left columns only
+
+    anti = hash_join(left, right, on='k', how='anti',
+                     num_partitions=4).to_pandas()
+    assert sorted(anti.k) == [1, 3]
+
+    empty_right = ray.data.from_arrow(pa.table({
+        'k': pa.array([], type=pa.int64()),
+        'w': pa.array([], type=pa.string())}))
+    anti_all = hash_join(left, empty_right, on='k', how='anti',
+                         num_partitions=4).to_pandas()
+    assert sorted(anti_all.k) == [1, 2, 3, 4]
+
+    with pytest.raises(ValueError):
+        hash_join(left, right, on='k', how='outer')

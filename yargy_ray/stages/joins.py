@@ -188,17 +188,27 @@ def interval_join(left_ds, right_ds, by, on, start, stop, suffix='_r',
 
 
 def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
-              coalesce='auto'):
-    """Big-big inner equi-join: both sides co-partitioned by the join
-    key in ONE tagged-union exchange, then a vectorized pandas merge
-    per partition. Complements ``broadcast_join`` (small side) and the
+              coalesce='auto', how='inner'):
+    """Big-big equi-join: both sides co-partitioned by the join key in
+    ONE tagged-union exchange, then a vectorized pandas merge per
+    partition. Complements ``broadcast_join`` (small side) and the
     temporal joins; ``on`` must be a non-negative integer key (the
     exchange contract). Right columns colliding with left names get
     ``suffix``.
 
+    ``how``: ``'inner'`` | ``'left'`` (left outer — unmatched left rows
+    survive with null right columns) | ``'semi'`` (left rows with at
+    least one match, left columns only, no duplication) | ``'anti'``
+    (left rows with NO match, left columns only). semi/anti move the
+    left side plus only the right side's key column worth of data
+    through the same single exchange — the key-existence checks are
+    vectorized ``Index.isin`` per partition.
+
     Scale shape: the single exchange is the only data movement; skew on
     the join key bounds partition size exactly like the dedup family.
     """
+    if how not in ('inner', 'left', 'semi', 'anti'):
+        raise ValueError(f'unsupported how={how!r}')
     import numpy as np
     import pandas as pd
 
@@ -211,7 +221,10 @@ def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
     ltypes = field_types(left_ds.schema())
     rtypes = field_types(right_ds.schema())
     left_names = list(ltypes)
-    right_vals = [n for n in rtypes if n != on]
+    # semi/anti output left columns only; the right side contributes
+    # nothing but key existence, so its value columns never ship
+    right_vals = [] if how in ('semi', 'anti') else \
+        [n for n in rtypes if n != on]
     out_right = [n + suffix if n in ltypes else n for n in right_vals]
     union_schema = pa.schema(
         [pa.field(n, ltypes[n]) for n in left_names]
@@ -249,12 +262,21 @@ def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
                                           batch_format='pyarrow')))
 
     def reduce_fn(table: pa.Table) -> pa.Table:
+        import pandas as pd
         df = table.to_pandas()
         left = df[df['__side'] == 0][left_names]
         right = df[df['__side'] == 1][[on] + out_right]
-        if len(left) == 0 or len(right) == 0:
+        if len(left) == 0:
             return out_schema.empty_table()
-        merged = left.merge(right, on=on, how='inner')
+        if how in ('semi', 'anti'):
+            mask = left[on].isin(pd.unique(right[on]))
+            merged = left[mask if how == 'semi' else ~mask]
+        elif len(right) == 0:
+            if how == 'inner':
+                return out_schema.empty_table()
+            merged = left.reindex(columns=list(out_schema.names))
+        else:
+            merged = left.merge(right, on=on, how=how)
         return pa.Table.from_pandas(merged[list(out_schema.names)],
                                     schema=out_schema,
                                     preserve_index=False)
