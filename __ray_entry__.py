@@ -693,6 +693,18 @@ def q_kg_two_hop(sf_dir):
     return two_hop_counts(aggregate_edges(triples))
 
 
+def q_latest_user_event(sf_dir):
+    """Keep-latest-per-key (version dedup, the 'retain newest document
+    revision' shape): one row per user — the most recent event, ties
+    broken by min event_id for cluster-size-invariant determinism.
+    topk_per_group with k=1 (stages/sampling.py)."""
+    from yargy_ray.stages.sampling import topk_per_group
+    events = _read(sf_dir, 'events').select_columns(
+        ['user_id', 'event_id', 'ts', 'event_type'])
+    return topk_per_group(events, 'user_id', 'ts', k=1,
+                          descending=True, tiebreak='event_id')
+
+
 def q_cust_no_urgent(sf_dir):
     """ANTI join (stages/joins.py:hash_join how='anti'): customers with
     NO 1-URGENT order — the exact complement of cust_urgent_semi; only
@@ -993,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'topk_orders_per_cust': q_topk_orders_per_cust,
         'session_assign': q_session_assign,
         'cust_no_urgent': q_cust_no_urgent,
+        'latest_user_event': q_latest_user_event,
         'cust_urgent_semi': q_cust_urgent_semi,
         'cust_totals_left': q_cust_totals_left,
         'kg_triples': q_kg_triples,
@@ -1921,6 +1934,15 @@ def _oracle_sql_dict() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        'latest_user_event': """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         'cust_urgent_semi': """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
