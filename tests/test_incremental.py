@@ -151,3 +151,79 @@ def test_merge_resume_and_crash_recovery(split_corpus, tmp_path):
     cols = ['src', 'dst', 'pred', 'weight']
     assert _canon(f'{out}/edges', cols).equals(
         _canon(f'{root}/kg_merged/edges', cols))
+
+
+def test_layout_mismatch_rejected(merged_kg, tmp_path):
+    """A merge whose num_partitions disagrees with the base build's
+    recorded layout must refuse up front (ADVICE r03: the same-subj
+    co-partitioning invariant would silently break)."""
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+
+    root, _ = merged_kg
+    with pytest.raises(ValueError, match='disagrees'):
+        merge_kg_delta(f'{root}/kg_base', f'{root}/delta_t',
+                       str(tmp_path / 'bad'), num_partitions=8)
+    with pytest.raises(ValueError, match='power of two'):
+        merge_kg_delta(f'{root}/kg_base', f'{root}/delta_t',
+                       str(tmp_path / 'bad2'), num_partitions=12)
+
+
+def test_run_kg_pipeline_rejects_non_power_of_two(tmp_path):
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+    with pytest.raises(ValueError, match='power of two'):
+        run_kg_pipeline('unused', str(tmp_path / 'kg'), num_partitions=6)
+
+
+def test_chained_merge_equals_full_rebuild(split_corpus, tmp_path):
+    """Delta-on-delta: merging into an ALREADY-MERGED root stays
+    bit-identical to a full rebuild, and manifests compose (the merged
+    root validates as a base; partitions untouched by both deltas stay
+    byte-identical across two generations)."""
+    import ray.data
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    root, full, _, _ = split_corpus
+    ds = ray.data.read_parquet(full)
+    b = str(tmp_path / 'b')
+    d1, d2 = str(tmp_path / 'd1'), str(tmp_path / 'd2')
+    ds.filter(expr="conv_id < 'conv-00000018'").write_parquet(b)
+    ds.filter(expr="conv_id == 'conv-00000018'").write_parquet(d1)
+    ds.filter(expr="conv_id == 'conv-00000019'").write_parquet(d2)
+
+    run_kg_pipeline(b, str(tmp_path / 'kg_b'), concurrency=(1, 2),
+                    num_partitions=16)
+    m1 = merge_kg_delta(str(tmp_path / 'kg_b'), d1,
+                        str(tmp_path / 'kg_m1'), concurrency=(1, 2),
+                        num_partitions=16)
+    m2 = merge_kg_delta(str(tmp_path / 'kg_m1'), d2,
+                        str(tmp_path / 'kg_m2'), concurrency=(1, 2),
+                        num_partitions=16)
+
+    for table, cols in TABLES:
+        want = _canon(f'{root}/kg_full/{table}', cols).drop_duplicates()
+        got = _canon(f'{tmp_path}/kg_m2/{table}',
+                     cols).drop_duplicates()
+        assert want.reset_index(drop=True).equals(
+            got.reset_index(drop=True)), table
+
+    # second-generation manifests still record the layout
+    for stage in ('triples', 'nodes', 'edges'):
+        assert m2[stage]['num_partitions'] == 16
+
+    # partitions untouched by BOTH deltas are byte-identical to the
+    # original base across two carry generations
+    for table in ('nodes', 'edges'):
+        carried_twice = (set(m1[table]['carried_partitions'])
+                         & set(m2[table]['carried_partitions']))
+        assert carried_twice, table
+        for pid in sorted(carried_twice):
+            base_files = sorted(glob.glob(
+                f'{tmp_path}/kg_b/{table}/part={pid}/*.parquet'))
+            out_files = sorted(glob.glob(
+                f'{tmp_path}/kg_m2/{table}/part={pid}/*.parquet'))
+            assert [os.path.basename(f) for f in base_files] == \
+                   [os.path.basename(f) for f in out_files]
+            for bf, of in zip(base_files, out_files):
+                with open(bf, 'rb') as fb, open(of, 'rb') as fo:
+                    assert fb.read() == fo.read()

@@ -656,3 +656,94 @@ def test_hash_join_variants(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(left, right, on='k', how='outer')
+
+
+def test_hash_join_left_preserves_63bit_ints(ray_session):
+    """Unmatched left rows force nulls into right int columns; the
+    pandas merge must NOT round-trip int64 through float64 (values
+    above 2**53 would silently corrupt — ADVICE r03)."""
+    import ray.data
+
+    from yargy_ray.stages.joins import hash_join
+
+    big = (1 << 60) + 1          # not representable in float64
+    big2 = (1 << 62) + 3
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array([1, 2, 3], pa.int64()),
+        'lv': pa.array([big2, 5, big2 + 1], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'k': pa.array([1], pa.int64()),
+        'rv': pa.array([big], pa.int64())}))
+
+    lj = hash_join(left, right, on='k', how='left',
+                   num_partitions=2).to_pandas().sort_values(
+        'k').reset_index(drop=True)
+    assert lj.loc[0, 'rv'] == big            # exact, not 2**60
+    assert lj['rv'].isna().tolist() == [False, True, True]
+    # left 63-bit values survive every mode (the union table holds
+    # nulls in left columns on right-tagged rows)
+    assert lj['lv'].tolist() == [big2, 5, big2 + 1]
+    inner = hash_join(left, right, on='k', num_partitions=2).to_pandas()
+    assert inner['rv'].tolist() == [big]
+    assert inner['lv'].tolist() == [big2]
+    semi = hash_join(left, right, on='k', how='semi',
+                     num_partitions=2).to_pandas()
+    assert semi['lv'].tolist() == [big2]
+
+
+def test_asof_join_preserves_63bit_ints(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.joins import asof_join
+
+    big = (1 << 61) + 7
+    left = ray.data.from_arrow(pa.table({
+        'u': pa.array([1, 1, 2], pa.int64()),
+        't': pa.array([10, 20, 10], pa.int64()),
+        'lv': pa.array([big, big + 1, big + 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'u': pa.array([1], pa.int64()),
+        't': pa.array([15], pa.int64()),
+        'rv': pa.array([big + 10], pa.int64())}))
+    out = asof_join(left, right, by='u', on='t',
+                    num_partitions=2).to_pandas().sort_values(
+        ['u', 't']).reset_index(drop=True)
+    assert out['lv'].tolist() == [big, big + 1, big + 2]
+    assert out.loc[1, 'rv_r'] == big + 10
+    assert out['rv_r'].isna().tolist() == [True, False, True]
+
+
+def test_co_mention_capped_stat(ray_session):
+    """The bounded-work trim is COUNTED: include_capped_stat surfaces
+    one (__capped_convs__, __capped_convs__, N) row; the default path
+    drops it and never leaks the sentinel."""
+    import ray.data
+
+    from yargy_ray.pipelines.kg import CAPPED_STAT_ID, co_mention_edges
+
+    triples = pa.table({
+        'conv_id': ['c1', 'c1', 'c1', 'c2', 'c2', 'c2', 'c3', 'c3'],
+        'subj': ['c1:0'] * 3 + ['c2:0'] * 3 + ['c3:0'] * 2,
+        'pred': ['mentions_date', 'mentions_person', 'mentions_title'] * 2
+                + ['mentions_date', 'mentions_person'],
+        'obj': ['2020-01-01', 'иван', 'книга'] * 2 + ['2021-05-05', 'пётр'],
+    })
+    ds = ray.data.from_arrow(triples)
+    # c1 and c2 have 3 entities (> cap of 2), c3 has exactly 2
+    with_stat = co_mention_edges(
+        ds, num_partitions=4, max_entities=2,
+        include_capped_stat=True).to_pandas()
+    stat = with_stat[with_stat.src == CAPPED_STAT_ID]
+    assert len(stat) == 1
+    assert stat.iloc[0]['weight'] == 2
+    assert stat.iloc[0]['dst'] == CAPPED_STAT_ID
+
+    default = co_mention_edges(ds, num_partitions=4,
+                               max_entities=2).to_pandas()
+    assert not (default.src == CAPPED_STAT_ID).any()
+    assert len(default) == len(with_stat) - 1
+
+    # no capping -> no stat row even when requested
+    uncapped = co_mention_edges(ds, num_partitions=4,
+                                include_capped_stat=True).to_pandas()
+    assert not (uncapped.src == CAPPED_STAT_ID).any()

@@ -234,8 +234,10 @@ def address_grammar():
         STREET,
         rule(HOUSE_WORD.optional(), HOUSE).optional(),
     ).interpretation(Address)
+    # gate fragment 'переул' (not 'переулк') so the nominative/accusative
+    # 'переулок' passes the prefilter along with the oblique forms
     return GrammarSpec('address', ADDRESS, address_triples,
-                       gate=r'(?i)улиц|проспект|переулк|шоссе')
+                       gate=r'(?i)улиц|проспект|переул|шоссе')
 
 
 # ---------------------------------------------------------------------------

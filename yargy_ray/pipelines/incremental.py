@@ -156,6 +156,54 @@ def _merge_sum(base_dir, delta_partials, key_cols, sum_col, out_dir,
     return _rows_per_partition(out_dir), touched, carried
 
 
+def new_only(table: pa.Table) -> pa.Table:
+    """Anti-join reduce: keep side-1 (delta) rows whose triple IDENTITY
+    — the full (subj, pred, obj) string, NOT its 64-bit hash — is
+    absent from the side-0 (base) rows of the partition. Hashes only
+    route rows into the partition; a hash collision with a distinct
+    base triple cannot silently discard a new fact."""
+    from yargy_ray.pipelines.kg import _triple_key
+    sides = table.column('side').to_numpy(zero_copy_only=False)
+    key = _triple_key(table)
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    in_base = pc.is_in(
+        key, value_set=key.filter(pa.array(sides == 0))
+    ).to_numpy(zero_copy_only=False)
+    keep = (sides == 1) & ~in_base
+    out = table.filter(pa.array(keep))
+    return out.drop_columns(['side'])
+
+
+def _validate_layout(base_root, num_partitions):
+    """Refuse a merge whose partition layout disagrees with the base
+    build: the anti-join's 'same subj => same partition' invariant only
+    holds when both use the SAME P, and ``_part_of`` uses
+    ``hash & (P-1)`` so P must be a power of two. The base P comes from
+    its stage manifests (recorded by ``run_kg_pipeline``); a pre-layout
+    base without the field is checked against its part-dir ids."""
+    if num_partitions & (num_partitions - 1) or num_partitions <= 0:
+        raise ValueError(
+            f'num_partitions must be a positive power of two, '
+            f'got {num_partitions}')
+    manifest = load_manifest(os.path.join(base_root, 'triples'))
+    base_p = (manifest or {}).get('num_partitions')
+    if base_p is not None:
+        if base_p != num_partitions:
+            raise ValueError(
+                f'merge num_partitions={num_partitions} disagrees with '
+                f'the base build layout num_partitions={base_p} '
+                f'({base_root}/triples/_MANIFEST.json) — the same-subj '
+                f'co-partitioning invariant would silently break')
+    else:
+        max_part = max(_part_dirs(os.path.join(base_root, 'triples')),
+                       default=-1)
+        if max_part >= num_partitions:
+            raise ValueError(
+                f'base build has part={max_part} dirs but merge uses '
+                f'num_partitions={num_partitions} — layouts disagree')
+
+
 def merge_kg_delta(base_root, delta_transcripts_path, out_root,
                    factory_paths=DEFAULT_FACTORIES,
                    concurrency=(1, 8), batch_size=128,
@@ -177,8 +225,10 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
 
     from yargy_ray.stages.exchange import partitioned_reduce
 
+    _validate_layout(base_root, num_partitions)
     fp = fingerprint('kg-merge', base_root, delta_transcripts_path,
                      tuple(factory_paths), num_partitions)
+    layout = {'num_partitions': num_partitions}
     stage_dirs = {name: os.path.join(out_root, name)
                   for name in ('triples', 'nodes', 'edges')}
     if resume and all(stage_is_complete(d, fp)
@@ -203,14 +253,10 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
         def fn(batch: pa.Table) -> pa.Table:
             if 'mpart' not in batch.column_names:
                 batch = keyed(batch)
-            if 'tkey' not in batch.column_names:
-                key = pc.binary_join_element_wise(
-                    batch.column('subj').cast(pa.string()),
-                    batch.column('pred').cast(pa.string()),
-                    batch.column('obj').cast(pa.string()), '\x1f')
-                batch = batch.append_column('tkey', _hash64(key))
+            # no tkey in the union: routing is mpart = hash(subj), and
+            # the anti-join compares full (subj, pred, obj) values
             cols = ['subj', 'pred', 'obj', 'conv_id', 'turn_idx', 'rule',
-                    'span_start', 'span_stop', 'tkey', 'mpart']
+                    'span_start', 'span_stop', 'mpart']
             batch = batch.select(cols)
             return batch.append_column(
                 'side', pa.array(np.full(batch.num_rows, side,
@@ -225,15 +271,8 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
         r['mpart'] for r in
         delta_keyed.groupby('mpart').count().take_all()})
 
-    # -- 2. anti-join: keep delta rows whose triple key is not in the
-    #       touched base partitions (same-subj ⇒ same partition) --------
-    def new_only(table: pa.Table) -> pa.Table:
-        sides = table.column('side').to_numpy(zero_copy_only=False)
-        tkeys = table.column('tkey').to_numpy(zero_copy_only=False)
-        keep = (sides == 1) & ~np.isin(tkeys, tkeys[sides == 0])
-        out = table.filter(pa.array(keep))
-        return out.drop_columns(['side', 'tkey'])
-
+    # -- 2. anti-join: keep delta rows whose triple IDENTITY is not in
+    #       the touched base partitions (same-subj ⇒ same partition) ----
     sides = [delta_keyed]
     touched_with_base = [p for p in touched if p in base_parts]
     if touched_with_base:
@@ -262,10 +301,11 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
         appended = sorted({r['mpart'] for r in
                            new_triples.groupby('mpart').count()
                            .take_all()})
-        return _rows_per_partition(out_dir), {
-            'appended_partitions': appended,
-            'carried_partitions': sorted(set(base_parts) - set(appended)),
-            'new_rows': new_triples.count()}
+        return _rows_per_partition(out_dir), dict(
+            layout,
+            appended_partitions=appended,
+            carried_partitions=sorted(set(base_parts) - set(appended)),
+            new_rows=new_triples.count())
 
     manifests['triples'] = run_stage(
         'triples-merge', stage_dirs['triples'], fp, build_triples,
@@ -281,8 +321,8 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
                               batch_size=8192),
             ('node_id', 'kind', 'norm'), 'degree',
             out_dir, num_partitions, 'node_id')
-        return parts, {'merged_partitions': touched,
-                       'carried_partitions': carried}
+        return parts, dict(layout, merged_partitions=touched,
+                           carried_partitions=carried)
 
     manifests['nodes'] = run_stage(
         'nodes-merge', stage_dirs['nodes'], fp, build_nodes,
@@ -298,8 +338,8 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
                 batch_format='pyarrow'),
             ('src', 'dst', 'pred'), 'weight',
             out_dir, num_partitions, 'src')
-        return parts, {'merged_partitions': touched,
-                       'carried_partitions': carried}
+        return parts, dict(layout, merged_partitions=touched,
+                           carried_partitions=carried)
 
     manifests['edges'] = run_stage(
         'edges-merge', stage_dirs['edges'], fp, build_edges,

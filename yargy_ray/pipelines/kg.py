@@ -65,8 +65,43 @@ def node_id_of(norm: str) -> str:
 
     md5 (not sha1) so SQL oracles can recompute it:
     ``SUBSTR(MD5(s), 1, 16)`` in DuckDB yields the same id.
+
+    Collision budget (64 bits of md5): node ids are JOIN/display
+    identifiers, never dedup keys — the node table aggregates on the
+    full ``(node_id, kind, norm)`` triple, so two distinct nodes
+    sharing an id cannot merge there. The only aliasing surface is
+    edge endpoints (``src``/``dst`` carry the id alone): at 10^10
+    distinct nodes the birthday bound expects ~3 aliased endpoint
+    pairs — graph-metric noise, not data loss. Widening is one edit
+    here plus the matching ``SUBSTR(MD5(..), 1, N)`` in the oracles
+    if a deployment needs a larger id space.
     """
     return hashlib.md5(norm.encode()).hexdigest()[:16]
+
+
+def _triple_key(table: pa.Table):
+    """The full (subj, pred, obj) identity string — the EXACT dedup
+    key. ``\\x1f`` never occurs in extracted surfaces."""
+    return pc.binary_join_element_wise(
+        table.column('subj').cast(pa.string()),
+        table.column('pred').cast(pa.string()),
+        table.column('obj').cast(pa.string()),
+        '\x1f')
+
+
+def _exact_first_indices(key_arr) -> 'pa.Array':
+    """Row indices of the FIRST occurrence of each distinct value,
+    comparing full string values (dictionary encoding), never hashes —
+    two distinct triples colliding on a 64-bit hash both survive.
+    ``combine_chunks`` first: per-chunk dictionary codes would not be
+    comparable across chunks."""
+    import numpy as np
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    codes = key_arr.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False)
+    _, first_idx = np.unique(codes, return_index=True)
+    return pa.array(np.sort(first_idx))
 
 
 # ---------------------------------------------------------------------------
@@ -75,26 +110,21 @@ def node_id_of(norm: str) -> str:
 
 def _batch_prededup(batch: pa.Table) -> pa.Table:
     """Map-side combiner: drop duplicate triples within a batch and add
-    the 64-bit shuffle key. Runs before the exchange, shrinking it."""
-    key = pc.binary_join_element_wise(
-        batch.column('subj').cast(pa.string()),
-        batch.column('pred').cast(pa.string()),
-        batch.column('obj').cast(pa.string()),
-        '\x1f')
+    the 64-bit shuffle key. Runs before the exchange, shrinking it.
+
+    ``tkey`` only ROUTES (identical triples co-locate); identity is the
+    full (subj, pred, obj) value — a 64-bit collision between distinct
+    triples cannot drop either one."""
+    key = _triple_key(batch)
     batch = batch.append_column('tkey', _hash64(key))
-    # keep first occurrence per key within the batch
-    import numpy as np
-    keys = batch.column('tkey').to_numpy(zero_copy_only=False)
-    _, first_idx = np.unique(keys, return_index=True)
-    return batch.take(pa.array(np.sort(first_idx)))
+    return batch.take(_exact_first_indices(key))
 
 
 def _dedup_block(table: pa.Table) -> pa.Table:
-    """Vectorized first-per-key over a whole partition (numpy unique)."""
-    import numpy as np
-    keys = table.column('tkey').to_numpy(zero_copy_only=False)
-    _, first_idx = np.unique(keys, return_index=True)
-    return table.take(pa.array(np.sort(first_idx)))
+    """Vectorized first-per-TRIPLE over a whole partition. The reduce
+    recomputes the full identity string: ``tkey`` routed the rows here,
+    but equality is decided on the values themselves."""
+    return table.take(_exact_first_indices(_triple_key(table)))
 
 
 def dedup_triples(triples_ds, num_partitions=64, prededuped=False,
@@ -334,11 +364,22 @@ def run_kg_pipeline(transcripts_path, out_root,
                     factory_paths=DEFAULT_FACTORIES,
                     concurrency=(1, 8), batch_size=128,
                     num_partitions=16, resume=True):
-    """Full KG build: returns dict of stage -> manifest."""
+    """Full KG build: returns dict of stage -> manifest.
+
+    ``num_partitions`` must be a power of two (the partition function is
+    ``hash & (P-1)``); it is recorded in every stage manifest so that
+    :func:`~yargy_ray.pipelines.incremental.merge_kg_delta` can refuse a
+    merge whose layout disagrees with the base build.
+    """
     import ray.data
 
+    if num_partitions & (num_partitions - 1) or num_partitions <= 0:
+        raise ValueError(
+            f'num_partitions must be a positive power of two, '
+            f'got {num_partitions}')
     fp = fingerprint('kg', transcripts_path, tuple(factory_paths),
                      num_partitions)
+    layout = {'num_partitions': num_partitions}
     manifests = {}
 
     mentions_dir = os.path.join(out_root, 'mentions')
@@ -353,7 +394,7 @@ def run_kg_pipeline(transcripts_path, out_root,
             turns, factory_paths, concurrency=concurrency,
             batch_size=batch_size)
         return _write_partitioned(mentions, out_dir, 'conv_id',
-                                  num_partitions)
+                                  num_partitions), layout
 
     manifests['mentions'] = run_stage(
         'mentions', mentions_dir, fp, build_mentions, resume=resume)
@@ -370,7 +411,7 @@ def run_kg_pipeline(transcripts_path, out_root,
             p['capped_rows'] = 0
         if parts:
             parts[0]['capped_rows'] = int(capped)
-        return parts
+        return parts, layout
 
     manifests['triples'] = run_stage(
         'triples', triples_dir, fp, build_triples, resume=resume)
@@ -378,7 +419,8 @@ def run_kg_pipeline(transcripts_path, out_root,
     def build_nodes(out_dir):
         triples = ray.data.read_parquet(triples_dir)
         nodes = canonicalize_nodes(triples)
-        return _write_partitioned(nodes, out_dir, 'node_id', num_partitions)
+        return _write_partitioned(nodes, out_dir, 'node_id',
+                                  num_partitions), layout
 
     nodes_dir = os.path.join(out_root, 'nodes')
     manifests['nodes'] = run_stage(
@@ -387,7 +429,8 @@ def run_kg_pipeline(transcripts_path, out_root,
     def build_edges(out_dir):
         triples = ray.data.read_parquet(triples_dir)
         edges = aggregate_edges(triples)
-        return _write_partitioned(edges, out_dir, 'src', num_partitions)
+        return _write_partitioned(edges, out_dir, 'src',
+                                  num_partitions), layout
 
     edges_dir = os.path.join(out_root, 'edges')
     manifests['edges'] = run_stage(
@@ -429,11 +472,17 @@ def _emit_conv_entities(batch: pa.Table) -> pa.Table:
 MAX_CONV_ENTITIES = 4096  # bounded-work cap: a conversation mentioning
 # E distinct entities emits E*(E-1)/2 pairs; cap keeps one pathological
 # conversation from emitting O(E^2) rows (deterministic trim: first E
-# by (kind, norm) sort order; capped convs are counted in the output)
+# by (kind, norm) sort order; capped conversations are COUNTED — each
+# partition emits a sentinel row summed through the pair exchange and
+# surfaced as a '__capped_convs__' stat row when include_capped_stat=True)
+
+_CAPPED_SENTINEL = '\x00__capped_convs__'
+CAPPED_STAT_ID = '__capped_convs__'
 
 
 def co_mention_edges(triples_ds, num_partitions=64,
-                     max_entities=MAX_CONV_ENTITIES):
+                     max_entities=MAX_CONV_ENTITIES,
+                     include_capped_stat=False):
     """Undirected co-occurrence edges between canonical entities
     mentioned in the SAME conversation: (src, dst, weight) where weight
     counts the conversations in which both entities appear and
@@ -446,6 +495,12 @@ def co_mention_edges(triples_ds, num_partitions=64,
     slice of the lexsorted partition; (2) pair rows co-partitioned on
     the pair key to sum weights (a pair of entities can co-occur in
     conversations living in different partitions).
+
+    ``include_capped_stat=True`` appends one stat row
+    ``(src=dst='__capped_convs__', weight=N)`` counting conversations
+    whose entity set was trimmed to ``max_entities``; by default the
+    count is dropped from the edge output (it still rides the normal
+    exchanges — no extra pass either way).
     """
     import numpy as np
 
@@ -469,7 +524,10 @@ def co_mention_edges(triples_ds, num_partitions=64,
         starts = np.concatenate(([0], boundaries))
         stops = np.concatenate((boundaries, [len(convs)]))
         a_parts, b_parts = [], []
+        n_capped = 0
         for start, stop in zip(starts, stops):
+            if stop - start > max_entities:
+                n_capped += 1
             k = min(stop - start, max_entities)
             if k < 2:
                 continue
@@ -477,15 +535,27 @@ def co_mention_edges(triples_ds, num_partitions=64,
             a_parts.append(ents[start:start + k][i])
             b_parts.append(ents[start:start + k][j])
         if not a_parts:
-            return pa.table({'a': pa.array([], type=pa.string()),
-                             'b': pa.array([], type=pa.string()),
-                             'weight': pa.array([], type=pa.int64())})
-        out = pa.table({'a': pa.array(np.concatenate(a_parts)),
-                        'b': pa.array(np.concatenate(b_parts))})
-        # combine within the partition: a pair co-occurring in several
-        # of this partition's conversations becomes one weighted row
-        agg = pa.TableGroupBy(out, ['a', 'b']).aggregate([([], 'count_all')])
-        return agg.rename_columns(['a', 'b', 'weight'])
+            agg = pa.table({'a': pa.array([], type=pa.string()),
+                            'b': pa.array([], type=pa.string()),
+                            'weight': pa.array([], type=pa.int64())})
+        else:
+            out = pa.table({'a': pa.array(np.concatenate(a_parts)),
+                            'b': pa.array(np.concatenate(b_parts))})
+            # combine within the partition: a pair co-occurring in
+            # several of this partition's conversations becomes one
+            # weighted row
+            agg = pa.TableGroupBy(out, ['a', 'b']).aggregate(
+                [([], 'count_all')]).rename_columns(['a', 'b', 'weight'])
+        if n_capped:
+            # capped-conversation accounting: the sentinel row sums
+            # across partitions through the normal pair exchange
+            agg = pa.concat_tables([agg.select(['a', 'b', 'weight']),
+                                    pa.table({
+                                        'a': [_CAPPED_SENTINEL],
+                                        'b': [''],
+                                        'weight': pa.array(
+                                            [n_capped], pa.int64())})])
+        return agg
 
     pairs = partitioned_reduce(
         incid.map_batches(keyed, batch_format='pyarrow'),
@@ -505,7 +575,10 @@ def co_mention_edges(triples_ds, num_partitions=64,
         'pkey', sum_fn, num_partitions, coalesce='auto')
 
     def to_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({
+        is_stat = pc.equal(batch.column('a'), _CAPPED_SENTINEL)
+        stat = batch.filter(is_stat)
+        batch = batch.filter(pc.invert(is_stat))
+        out = pa.table({
             'src': pa.array([node_id_of(v) for v in
                              batch.column('a').to_pylist()],
                             type=pa.string()),
@@ -514,5 +587,11 @@ def co_mention_edges(triples_ds, num_partitions=64,
                             type=pa.string()),
             'weight': batch.column('weight').cast(pa.int64()),
         })
+        if include_capped_stat and stat.num_rows:
+            out = pa.concat_tables([out, pa.table({
+                'src': [CAPPED_STAT_ID], 'dst': [CAPPED_STAT_ID],
+                'weight': stat.column('weight').cast(pa.int64()),
+            })])
+        return out
 
     return summed.map_batches(to_ids, batch_format='pyarrow')

@@ -20,6 +20,26 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def _nullable_int_mapper(t):
+    """``Table.to_pandas`` types_mapper: integer columns -> pandas
+    NULLABLE integer dtypes.
+
+    The tagged-union exchange fills the other side's columns with
+    nulls, and plain ``to_pandas`` would turn any int column containing
+    nulls into float64 — silently corrupting values above 2**53 (the
+    engine routinely carries 63-bit hash keys in int64 columns). The
+    nullable dtypes round-trip exactly: Int64 -> arrow int64 with the
+    null mask intact and no float detour.
+    """
+    import pandas as pd
+    return {
+        pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+        pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+        pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+    }.get(t)
+
+
 class BroadcastLookup:
     """map_batches callable: per-batch Arrow hash join against the
     broadcast small-side table (read ONCE per actor from the local
@@ -136,7 +156,7 @@ def asof_join(left_ds, right_ds, by, on, direction='backward',
     val_names = [f.name for f in val_fields]
 
     def reduce_fn(table: pa.Table) -> pa.Table:
-        df = table.to_pandas()
+        df = table.to_pandas(types_mapper=_nullable_int_mapper)
         left = (df[df['__side'] == 0]
                 .drop(columns=['__side'] + val_names)
                 .sort_values([on], kind='mergesort'))
@@ -144,6 +164,14 @@ def asof_join(left_ds, right_ds, by, on, direction='backward',
                  .sort_values([on], kind='mergesort'))
         if len(left) == 0:
             return out_schema.empty_table()
+        # merge_asof requires numpy dtypes for on/by; both are null-free
+        # after the side split, so the cast back is exact
+        for frame in (left, right):
+            for col in (on, by):
+                if isinstance(frame[col].dtype, pd.api.extensions
+                              .ExtensionDtype):
+                    frame[col] = frame[col].astype(
+                        frame[col].dtype.numpy_dtype)
         merged = pd.merge_asof(left, right, on=on, by=by,
                                direction=direction)
         return pa.Table.from_pandas(
@@ -263,7 +291,7 @@ def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
 
     def reduce_fn(table: pa.Table) -> pa.Table:
         import pandas as pd
-        df = table.to_pandas()
+        df = table.to_pandas(types_mapper=_nullable_int_mapper)
         left = df[df['__side'] == 0][left_names]
         right = df[df['__side'] == 1][[on] + out_right]
         if len(left) == 0:
