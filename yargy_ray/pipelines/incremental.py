@@ -38,10 +38,6 @@ base partitions), never to the base corpus.
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -54,6 +50,7 @@ from yargy_ray.pipelines.kg import (
     dedup_triples,
     extract_triples,
 )
+from yargy_ray.state import storage
 from yargy_ray.state.manifests import (
     fingerprint,
     load_manifest,
@@ -70,33 +67,28 @@ def _part_of(column, num_partitions):
 
 
 def _part_dirs(root):
-    return {int(d.rsplit('=', 1)[1]): d
-            for d in glob.glob(os.path.join(root, 'part=*'))}
+    return storage.part_dirs(root)
 
 
 def _part_files(part_dirs, part_ids):
-    """Parquet files of the given partitions (read_parquet takes file
-    paths when passed a list)."""
+    """Parquet file URIs of the given partitions (read_parquet takes
+    file paths/URIs when passed a list)."""
     return [f for p in part_ids
-            for f in sorted(glob.glob(os.path.join(part_dirs[p],
-                                                   '*.parquet')))]
+            for f in storage.parquet_files(part_dirs[p])]
 
 
 def _carry_partitions(base_dir, out_dir, part_ids):
-    """Copy base part-dirs over unchanged (at scale: manifest refs)."""
+    """Copy base part-dirs over unchanged — through the storage seam,
+    so base and output may live on shared cluster storage (where a
+    manifest REFERENCE to the immutable base files replaces the copy)."""
     for pid in part_ids:
-        src = os.path.join(base_dir, f'part={pid}')
-        shutil.copytree(src, os.path.join(out_dir, f'part={pid}'))
+        storage.copy_tree(storage.join(base_dir, f'part={pid}'),
+                          storage.join(out_dir, f'part={pid}'))
 
 
 def _rows_per_partition(out_dir):
-    import pyarrow.parquet as pq
-    parts = []
-    for pid, d in sorted(_part_dirs(out_dir).items()):
-        rows = sum(pq.ParquetFile(f).metadata.num_rows
-                   for f in glob.glob(os.path.join(d, '*.parquet')))
-        parts.append({'partition_id': pid, 'rows': rows})
-    return parts
+    return [{'partition_id': pid, 'rows': storage.dir_rows(d)}
+            for pid, d in sorted(storage.part_dirs(out_dir).items())]
 
 
 def _merge_sum(base_dir, delta_partials, key_cols, sum_col, out_dir,
@@ -124,7 +116,7 @@ def _merge_sum(base_dir, delta_partials, key_cols, sum_col, out_dir,
 
     base_parts = _part_dirs(base_dir)
     carried = sorted(set(base_parts) - set(touched))
-    os.makedirs(out_dir, exist_ok=True)
+    storage.makedirs(out_dir)
     _carry_partitions(base_dir, out_dir, carried)
 
     cols = list(key_cols) + [sum_col]
@@ -138,8 +130,9 @@ def _merge_sum(base_dir, delta_partials, key_cols, sum_col, out_dir,
     sides = [delta_keyed]
     touched_with_base = [p for p in touched if p in base_parts]
     if touched_with_base:
-        base_ds = ray.data.read_parquet(
+        paths, pfs = storage.for_ray(
             _part_files(base_parts, touched_with_base))
+        base_ds = ray.data.read_parquet(paths, filesystem=pfs)
         # file-level reads skip the 'part' hive column; select the data
         # columns and recompute mpart so schemas align with the delta
         sides.append(base_ds.map_batches(
@@ -186,7 +179,7 @@ def _validate_layout(base_root, num_partitions):
         raise ValueError(
             f'num_partitions must be a positive power of two, '
             f'got {num_partitions}')
-    manifest = load_manifest(os.path.join(base_root, 'triples'))
+    manifest = load_manifest(storage.join(base_root, 'triples'))
     base_p = (manifest or {}).get('num_partitions')
     if base_p is not None:
         if base_p != num_partitions:
@@ -196,7 +189,7 @@ def _validate_layout(base_root, num_partitions):
                 f'({base_root}/triples/_MANIFEST.json) — the same-subj '
                 f'co-partitioning invariant would silently break')
     else:
-        max_part = max(_part_dirs(os.path.join(base_root, 'triples')),
+        max_part = max(_part_dirs(storage.join(base_root, 'triples')),
                        default=-1)
         if max_part >= num_partitions:
             raise ValueError(
@@ -229,7 +222,7 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
     fp = fingerprint('kg-merge', base_root, delta_transcripts_path,
                      tuple(factory_paths), num_partitions)
     layout = {'num_partitions': num_partitions}
-    stage_dirs = {name: os.path.join(out_root, name)
+    stage_dirs = {name: storage.join(out_root, name)
                   for name in ('triples', 'nodes', 'edges')}
     if resume and all(stage_is_complete(d, fp)
                       for d in stage_dirs.values()):
@@ -265,7 +258,7 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
 
     delta_keyed = delta.map_batches(tag(1), batch_format='pyarrow')
 
-    base_triples_dir = os.path.join(base_root, 'triples')
+    base_triples_dir = storage.join(base_root, 'triples')
     base_parts = _part_dirs(base_triples_dir)
     touched = sorted({
         r['mpart'] for r in
@@ -276,8 +269,9 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
     sides = [delta_keyed]
     touched_with_base = [p for p in touched if p in base_parts]
     if touched_with_base:
-        base_ds = ray.data.read_parquet(
+        paths, pfs = storage.for_ray(
             _part_files(base_parts, touched_with_base))
+        base_ds = ray.data.read_parquet(paths, filesystem=pfs)
         sides.append(base_ds.map_batches(tag(0), batch_format='pyarrow'))
     new_triples = partitioned_reduce(
         sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0],
@@ -289,7 +283,7 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
 
     # -- 3. triples out: carry every base partition, append new rows ----
     def build_triples(out_dir):
-        os.makedirs(out_dir, exist_ok=True)
+        storage.makedirs(out_dir)
         _carry_partitions(base_triples_dir, out_dir, sorted(base_parts))
         if new_triples.count():
             new_triples.map_batches(
@@ -316,7 +310,7 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
 
     def build_nodes(out_dir):
         parts, touched, carried = _merge_sum(
-            os.path.join(base_root, 'nodes'),
+            storage.join(base_root, 'nodes'),
             plain.map_batches(_emit_node_counts, batch_format='pyarrow',
                               batch_size=8192),
             ('node_id', 'kind', 'norm'), 'degree',
@@ -331,7 +325,7 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
     # -- 5. edge merge: weight deltas, same shape -----------------------
     def build_edges(out_dir):
         parts, touched, carried = _merge_sum(
-            os.path.join(base_root, 'edges'),
+            storage.join(base_root, 'edges'),
             plain.map_batches(_emit_edge_counts, batch_format='pyarrow',
                               batch_size=8192).map_batches(
                 lambda b: b.select(['src', 'dst', 'pred', 'weight']),

@@ -25,8 +25,6 @@ Scale notes (BASELINE.json north_rule):
 from __future__ import annotations
 
 import hashlib
-import json
-import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -37,6 +35,7 @@ from yargy_ray.stages.extract import (
     extract_mentions,
     project_triples,
 )
+from yargy_ray.state import storage
 from yargy_ray.state.manifests import fingerprint, run_stage, write_manifest
 
 
@@ -343,21 +342,16 @@ def _write_partitioned(ds, out_dir, key_column, num_partitions=16):
 
     Row counts come from the written files' parquet FOOTERS (metadata
     only, no data read) — counting via a second ``ds.groupby`` would
-    re-execute the whole upstream pipeline a second time.
+    re-execute the whole upstream pipeline a second time. All path IO
+    runs through the storage seam (``state/storage.py``), so
+    ``out_dir`` may be a shared-storage URI.
     """
-    import glob
-
-    import pyarrow.parquet as pq
+    from yargy_ray.state import storage
 
     ds = _add_partition(ds, key_column, num_partitions)
     ds.write_parquet(out_dir, partition_cols=['part'])
-    parts = []
-    for d in sorted(glob.glob(os.path.join(out_dir, 'part=*'))):
-        rows = sum(pq.ParquetFile(f).metadata.num_rows
-                   for f in glob.glob(os.path.join(d, '*.parquet')))
-        parts.append({'partition_id': int(d.rsplit('=', 1)[1]),
-                      'rows': rows})
-    return parts
+    return [{'partition_id': pid, 'rows': storage.dir_rows(d)}
+            for pid, d in sorted(storage.part_dirs(out_dir).items())]
 
 
 def run_kg_pipeline(transcripts_path, out_root,
@@ -382,8 +376,8 @@ def run_kg_pipeline(transcripts_path, out_root,
     layout = {'num_partitions': num_partitions}
     manifests = {}
 
-    mentions_dir = os.path.join(out_root, 'mentions')
-    triples_dir = os.path.join(out_root, 'triples')
+    mentions_dir = storage.join(out_root, 'mentions')
+    triples_dir = storage.join(out_root, 'triples')
 
     def build_mentions(out_dir):
         turns = ray.data.read_parquet(
@@ -422,7 +416,7 @@ def run_kg_pipeline(transcripts_path, out_root,
         return _write_partitioned(nodes, out_dir, 'node_id',
                                   num_partitions), layout
 
-    nodes_dir = os.path.join(out_root, 'nodes')
+    nodes_dir = storage.join(out_root, 'nodes')
     manifests['nodes'] = run_stage(
         'nodes', nodes_dir, fp, build_nodes, resume=resume)
 
@@ -432,7 +426,7 @@ def run_kg_pipeline(transcripts_path, out_root,
         return _write_partitioned(edges, out_dir, 'src',
                                   num_partitions), layout
 
-    edges_dir = os.path.join(out_root, 'edges')
+    edges_dir = storage.join(out_root, 'edges')
     manifests['edges'] = run_stage(
         'edges', edges_dir, fp, build_edges, resume=resume)
 

@@ -31,14 +31,13 @@ join needed).
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 import tempfile
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from yargy_ray.state import storage
 
 
 def _symmetrize(batch: pa.Table, a: str, b: str) -> pa.Table:
@@ -54,13 +53,10 @@ def _symmetrize(batch: pa.Table, a: str, b: str) -> pa.Table:
 
 
 def _read_edge_partition(edges_dir, part):
-    files = sorted(glob.glob(
-        os.path.join(edges_dir, f'part={part}', '*.parquet')))
-    if not files:
-        return None
-    import pyarrow.parquet as pq
-    return pa.concat_tables([pq.read_table(f, columns=['src', 'dst'])
-                             for f in files])
+    """Partition-pruned worker-side read through the storage seam —
+    ``edges_dir`` may be any URI every node can see."""
+    return storage.read_parquet_dir(
+        storage.join(edges_dir, f'part={part}'), columns=['src', 'dst'])
 
 
 def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
@@ -71,8 +67,12 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
     definition and never ship through the exchanges).
 
     ``edges_dir``: where the symmetrized, hash-partitioned edge table
-    is persisted for the duration of the run (a private temp dir by
-    default, removed afterwards; pass a stable path to keep it).
+    is persisted for the duration of the run. SHARED-VISIBILITY
+    CONTRACT: ``propagate`` tasks read it from WORKERS, so on a
+    multi-node cluster this must be a URI every node can see (shared
+    mount, ``s3://``, ...; see ``state/storage.py``). The default — a
+    driver-local temp dir, removed afterwards — is correct only in
+    single-node/local mode.
     ``pointer_jump``: keep on unless the graph is known-shallow (tight
     dup clusters), where False saves one exchange per round."""
     from yargy_ray.stages.exchange import partitioned_reduce, with_partition
@@ -90,7 +90,7 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
         with_partition(edges, 'src', num_partitions).write_parquet(
             edges_dir, partition_cols=['part'])
         import ray.data
-        if not glob.glob(os.path.join(edges_dir, 'part=*')):
+        if not storage.part_dirs(edges_dir):
             # empty pair table -> empty component table
             return ray.data.from_arrow(pa.table({
                 'node': pa.array([], type=pa.int64()),
@@ -208,7 +208,10 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
             rename, batch_format='pyarrow').materialize()
     finally:
         if own_dir:
-            shutil.rmtree(edges_dir, ignore_errors=True)
+            try:
+                storage.rmtree(edges_dir)
+            except OSError:
+                pass
 
 
 def two_hop_counts(edges_ds, num_partitions=64):

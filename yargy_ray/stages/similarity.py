@@ -164,13 +164,15 @@ def build_ivf_index(emb_ds, index_dir, num_lists=16, sample=4096, iters=10,
 
     A rerun with the same ``input_key`` + params skips the build, so
     queries never pay assignment again — this is what makes ivf_topk an
-    actual index instead of a per-call full scan.
+    actual index instead of a per-call full scan. ``index_dir`` may be
+    a shared-storage URI (``state/storage.py``); on a multi-node
+    cluster it MUST be one, because query tasks read the probed list
+    partitions from it.
     """
-    import glob
-
     import pyarrow.parquet as pq
     import ray
 
+    from yargy_ray.state import storage
     from yargy_ray.state.manifests import fingerprint, run_stage
 
     # cheap content fingerprint: the input's row count (parquet reads
@@ -183,7 +185,9 @@ def build_ivf_index(emb_ds, index_dir, num_lists=16, sample=4096, iters=10,
 
     def produce(out_dir):
         centroids = train_centroids(emb_ds, num_lists, sample, iters, seed)
-        os.makedirs(out_dir, exist_ok=True)
+        storage.makedirs(out_dir)
+        cfs, cpath = storage.resolve(
+            storage.join(out_dir, 'centroids.parquet'))
         pq.write_table(
             pa.table({
                 'list_id': pa.array(np.arange(len(centroids)),
@@ -191,21 +195,20 @@ def build_ivf_index(emb_ds, index_dir, num_lists=16, sample=4096, iters=10,
                 'centroid': pa.array([c.tolist() for c in centroids],
                                      type=pa.list_(pa.float32())),
             }),
-            os.path.join(out_dir, 'centroids.parquet'))
+            cpath, filesystem=cfs)
         centroids_ref = ray.put(centroids)
         assigned = emb_ds.map_batches(
             IVFAssigner,
             fn_constructor_kwargs={'centroids_ref': centroids_ref},
             batch_format='pyarrow', concurrency=concurrency)
-        lists_dir = os.path.join(out_dir, 'lists')
+        lists_dir = storage.join(out_dir, 'lists')
         assigned.write_parquet(lists_dir, partition_cols=['ivf_list'])
-        parts = []
-        for d in sorted(glob.glob(os.path.join(lists_dir, 'ivf_list=*'))):
-            rows = sum(pq.ParquetFile(f).metadata.num_rows
-                       for f in glob.glob(os.path.join(d, '*.parquet')))
-            parts.append({'partition_id': int(d.rsplit('=', 1)[1]),
-                          'rows': rows})
-        return parts
+        return [
+            {'partition_id': int(name.split('=', 1)[1]),
+             'rows': storage.dir_rows(child)}
+            for name, child in sorted(
+                storage.list_dirs(lists_dir).items())
+            if name.startswith('ivf_list=')]
 
     return run_stage('ivf_index', index_dir, fp, produce, resume=resume)
 
@@ -219,17 +222,20 @@ def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
     import ray
     import ray.data
 
-    cent = pq.read_table(os.path.join(index_dir, 'centroids.parquet'))
+    from yargy_ray.state import storage
+
+    cfs, cpath = storage.resolve(
+        storage.join(index_dir, 'centroids.parquet'))
+    cent = pq.read_table(cpath, filesystem=cfs)
     centroids = np.asarray(cent.column('centroid').to_pylist(),
                            dtype=np.float32)
     queries = _unit(np.asarray(queries, dtype=np.float32))
     probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(li) for row in probe_lists for li in row})
-    import glob
     files = []
     for li in wanted:
-        files.extend(sorted(glob.glob(os.path.join(
-            index_dir, 'lists', f'ivf_list={li}', '*.parquet'))))
+        files.extend(storage.parquet_files(
+            storage.join(index_dir, 'lists', f'ivf_list={li}')))
     if not files:
         return pa.Table.from_pylist([], schema=pa.schema(
             [('query_id', pa.int64()), ('rank', pa.int64()),

@@ -16,9 +16,9 @@ every stage whose manifest already matches.
 from __future__ import annotations
 
 import hashlib
-import json
-import os
 import time
+
+from yargy_ray.state import storage
 
 MANIFEST_NAME = '_MANIFEST.json'
 
@@ -33,21 +33,17 @@ def fingerprint(*parts) -> str:
 
 
 def manifest_path(out_dir):
-    return os.path.join(out_dir, MANIFEST_NAME)
+    return storage.join(out_dir, MANIFEST_NAME)
 
 
 def load_manifest(out_dir):
-    path = manifest_path(out_dir)
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    return storage.read_json(manifest_path(out_dir))
 
 
 def write_manifest(out_dir, stage, input_fingerprint, partitions,
                    extra=None):
     """``partitions``: list of dicts with partition_id / rows / etc."""
-    os.makedirs(out_dir, exist_ok=True)
+    storage.makedirs(out_dir)
     payload = {
         'stage': stage,
         'input_fingerprint': input_fingerprint,
@@ -57,10 +53,7 @@ def write_manifest(out_dir, stage, input_fingerprint, partitions,
     }
     if extra:
         payload.update(extra)
-    tmp = manifest_path(out_dir) + '.tmp'
-    with open(tmp, 'w') as f:
-        json.dump(payload, f, indent=1)
-    os.replace(tmp, manifest_path(out_dir))
+    storage.write_json_atomic(manifest_path(out_dir), payload)
     return payload
 
 
@@ -88,9 +81,7 @@ def run_stage(stage, out_dir, input_fingerprint, producer, resume=True):
     # reads would double-count — clear the stage dir first (the
     # manifest is only written after a fully successful produce, so
     # anything present here without a matching manifest is garbage)
-    if os.path.isdir(out_dir):
-        import shutil
-        shutil.rmtree(out_dir)
+    storage.rmtree(out_dir)
     partitions = producer(out_dir)
     extra = None
     if isinstance(partitions, tuple):
