@@ -747,3 +747,67 @@ def test_co_mention_capped_stat(ray_session):
     uncapped = co_mention_edges(ds, num_partitions=4,
                                 include_capped_stat=True).to_pandas()
     assert not (uncapped.src == CAPPED_STAT_ID).any()
+
+
+def test_two_hop_hub_cap(ray_session):
+    """A planted high-degree hub is deterministically trimmed to
+    max_mid_degree per side (bounded work: <= k^2 pairs, not i*o), and
+    the capped mid is counted in the stat row."""
+    import ray.data
+
+    from yargy_ray.stages.graph import CAPPED_MID_STAT_ID, two_hop_counts
+
+    n = 60
+    srcs = [f's{i:03d}' for i in range(n)]
+    dsts = [f'd{i:03d}' for i in range(n)]
+    edges = pa.table({
+        'src': srcs + ['hub'] * n,
+        'dst': ['hub'] * n + dsts,
+    })
+    ds = ray.data.from_arrow(edges)
+
+    # uncapped: every src reaches all 60 dsts through the hub
+    full = two_hop_counts(ds, num_partitions=4).to_pandas()
+    assert dict(zip(full.node_id, full.two_hop)) == {s: n for s in srcs}
+
+    # cap of 8: first 8 srcs (sort order) x first 8 dsts survive
+    k = 8
+    capped = two_hop_counts(ds, num_partitions=4, max_mid_degree=k,
+                            include_capped_stat=True).to_pandas()
+    stat = capped[capped.node_id == CAPPED_MID_STAT_ID]
+    assert stat.two_hop.tolist() == [1]          # one capped mid
+    rest = capped[capped.node_id != CAPPED_MID_STAT_ID]
+    assert dict(zip(rest.node_id, rest.two_hop)) == {
+        f's{i:03d}': k for i in range(k)}
+
+    # default path drops the stat row but still trims
+    silent = two_hop_counts(ds, num_partitions=4,
+                            max_mid_degree=k).to_pandas()
+    assert not (silent.node_id == CAPPED_MID_STAT_ID).any()
+    assert len(silent) == k
+
+
+def test_as_matrix_zero_copy_paths():
+    """FixedSizeList / rectangular list / chunked columns reshape the
+    flat value buffer; ragged or null-bearing columns fall back to the
+    exact slow path."""
+    from yargy_ray.stages.similarity import _as_matrix
+
+    data = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    want = np.asarray(data, dtype=np.float32)
+
+    fsl = pa.array(data, type=pa.list_(pa.float32(), 2))
+    assert np.array_equal(_as_matrix(fsl), want)
+
+    var = pa.array(data, type=pa.list_(pa.float64()))
+    assert np.array_equal(_as_matrix(var), want)
+
+    chunked = pa.chunked_array([pa.array(data[:2]), pa.array(data[2:])])
+    assert np.array_equal(_as_matrix(chunked), want)
+
+    # sliced offsets must be respected (flatten, not raw .values)
+    assert np.array_equal(_as_matrix(fsl.slice(1, 2)), want[1:])
+    assert np.array_equal(_as_matrix(var.slice(1, 2)), want[1:])
+
+    # dtype plumbing on the fast path
+    assert _as_matrix(var, dtype=np.float64).dtype == np.float64

@@ -482,8 +482,8 @@ class HyperplaneBucketer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
-        vecs = np.asarray(batch.column('embedding').to_pylist(),
-                          dtype=np.float32)
+        from yargy_ray.stages.similarity import _as_matrix
+        vecs = _as_matrix(batch.column('embedding'))
         signs = (vecs @ self.planes.T) > 0        # (n, tables*planes)
         weights = (1 << np.arange(self.n_planes)).astype(np.int64)
         buckets = []
@@ -537,8 +537,8 @@ def embedding_near_dups(emb_ds, dim, threshold=0.95, planes=12, tables=4):
                 'b': pa.array([], type=pa.int64()),
                 'cosine': pa.array([], type=pa.float64()),
             })
-        vecs = np.asarray(group.column('embedding').to_pylist(),
-                          dtype=np.float64)
+        from yargy_ray.stages.similarity import _as_matrix
+        vecs = _as_matrix(group.column('embedding'), dtype=np.float64)
         order = np.argsort(ids)[:MAX_BUCKET]
         return _cosine_pairs_table(ids[order], _unit_rows(vecs[order]),
                                    threshold)
@@ -566,8 +566,9 @@ def embedding_near_dups_exact(emb_ds, threshold=0.95):
     all_tbl = pa.concat_tables(
         ray.get(emb_ds.to_arrow_refs()), promote_options='default')
     all_ids = all_tbl.column('vec_id').to_numpy(zero_copy_only=False)
-    all_unit = _unit_rows(np.asarray(
-        all_tbl.column('embedding').to_pylist(), dtype=np.float64))
+    from yargy_ray.stages.similarity import _as_matrix
+    all_unit = _unit_rows(_as_matrix(all_tbl.column('embedding'),
+                                     dtype=np.float64))
     ref = ray.put((all_ids, all_unit))
 
     class BlockPairs:
@@ -576,8 +577,9 @@ def embedding_near_dups_exact(emb_ds, threshold=0.95):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
-            unit = _unit_rows(np.asarray(
-                batch.column('embedding').to_pylist(), dtype=np.float64))
+            from yargy_ray.stages.similarity import _as_matrix
+            unit = _unit_rows(_as_matrix(batch.column('embedding'),
+                                         dtype=np.float64))
             sim = unit @ self.unit.T            # (batch, N)
             hit = sim >= threshold
             bi, gj = np.nonzero(hit)

@@ -214,7 +214,20 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
                 pass
 
 
-def two_hop_counts(edges_ds, num_partitions=64):
+MAX_MID_DEGREE = 4096  # bounded-work cap: a mid node with in-degree i
+# and out-degree o emits i*o candidate pairs inside ONE partition — a
+# celebrity entity on a power-law graph would OOM it. Deterministic
+# trim (first-k neighbors by node-id sort order) bounds the blowup to
+# k*k per mid; trimmed mids are COUNTED (same accounting shape as
+# kg.MAX_CONV_ENTITIES).
+
+_CAPPED_MID_SENTINEL = '\x00__capped_mids__'
+CAPPED_MID_STAT_ID = '__capped_mids__'
+
+
+def two_hop_counts(edges_ds, num_partitions=64,
+                   max_mid_degree=MAX_MID_DEGREE,
+                   include_capped_stat=False):
     """Per-node count of DISTINCT nodes reachable in exactly two
     directed hops (src -> mid -> dst, dst != src).
 
@@ -224,9 +237,14 @@ def two_hop_counts(edges_ds, num_partitions=64):
     STRING inside the partition — the 64-bit key only routes, so hash
     collisions cannot corrupt results). (2) The (src, dst) candidate
     pairs re-partition on ``hash(src)`` for a global distinct + count.
-    A hub node of in-degree i and out-degree o contributes i*o pairs —
-    the same skew profile as the dedup buckets; cap mids upstream if a
-    graph has degree hubs beyond partition memory.
+
+    ``max_mid_degree`` bounds the i*o pair blowup per mid node: each
+    side of a mid keeps its first ``max_mid_degree`` distinct
+    neighbors in node-id sort order (deterministic — independent of
+    block arrival order), so one hub costs at most k^2 pairs. Counts
+    THROUGH a capped hub are lower bounds; mids trimmed on either side
+    are counted, and ``include_capped_stat=True`` surfaces the count
+    as a ``(node_id='__capped_mids__', two_hop=N)`` row.
     """
     import numpy as np
     import pandas as pd
@@ -253,14 +271,33 @@ def two_hop_counts(edges_ds, num_partitions=64):
               .union(edges_ds.map_batches(tag(1),
                                           batch_format='pyarrow')))
 
+    def cap_side(frame, col):
+        """First ``max_mid_degree`` distinct neighbors per mid, in
+        neighbor sort order; returns (trimmed frame, capped mid ids)."""
+        frame = frame.sort_values(['mid', col], kind='mergesort')
+        nth = frame.groupby('mid', sort=False).cumcount()
+        over = frame.loc[nth.to_numpy() >= max_mid_degree,
+                         'mid'].unique()
+        return frame[(nth < max_mid_degree).to_numpy()], over
+
     def join_mid(table: pa.Table) -> pa.Table:
         df = table.select(['mid', 'other', 'side']).to_pandas()
         left = df[df['side'] == 0][['mid', 'other']].rename(
             columns={'other': 'src'}).drop_duplicates()
         right = df[df['side'] == 1][['mid', 'other']].rename(
             columns={'other': 'dst'}).drop_duplicates()
+        left, over_l = cap_side(left, 'src')
+        right, over_r = cap_side(right, 'dst')
         pairs = left.merge(right, on='mid')[['src', 'dst']]
         pairs = pairs[pairs['src'] != pairs['dst']].drop_duplicates()
+        capped = np.union1d(over_l, over_r)
+        if len(capped):
+            # sentinel rows ride the src exchange; the count reduce
+            # turns them into ONE distinct-capped-mid count row
+            pairs = pd.concat([
+                pairs,
+                pd.DataFrame({'src': _CAPPED_MID_SENTINEL,
+                              'dst': capped})], ignore_index=True)
         return pa.Table.from_pandas(pairs, preserve_index=False)
 
     pairs = partitioned_reduce(tagged, 'mkey', join_mid, num_partitions,
@@ -276,6 +313,17 @@ def two_hop_counts(edges_ds, num_partitions=64):
             agg.rename(columns={'src': 'node_id', 'dst': 'two_hop'}),
             preserve_index=False)
 
-    return partitioned_reduce(
+    counted = partitioned_reduce(
         pairs.map_batches(keyed, batch_format='pyarrow'),
         'skey', count_fn, num_partitions, coalesce='auto')
+
+    def finish(batch: pa.Table) -> pa.Table:
+        is_stat = pc.equal(batch.column('node_id'), _CAPPED_MID_SENTINEL)
+        if not include_capped_stat:
+            return batch.filter(pc.invert(is_stat))
+        node = pc.if_else(is_stat, pa.scalar(CAPPED_MID_STAT_ID),
+                          batch.column('node_id'))
+        return batch.set_column(
+            batch.schema.get_field_index('node_id'), 'node_id', node)
+
+    return counted.map_batches(finish, batch_format='pyarrow')

@@ -20,8 +20,31 @@ import numpy as np
 import pyarrow as pa
 
 
-def _as_matrix(column) -> np.ndarray:
-    return np.asarray(column.to_pylist(), dtype=np.float32)
+def _as_matrix(column, dtype=np.float32) -> np.ndarray:
+    """Arrow embedding column -> (N, dim) numpy matrix WITHOUT the
+    ``to_pylist`` detour (VERDICT r03 #5): ``FixedSizeList`` and
+    rectangular ``list``/``large_list`` columns reshape their flat
+    value buffer (one buffer-level copy at most — the float values
+    never materialize as Python objects). Ragged or null-bearing
+    columns fall back to the slow exact path."""
+    arr = (column.combine_chunks()
+           if isinstance(column, pa.ChunkedArray) else column)
+    t = arr.type
+    if arr.null_count == 0:
+        if pa.types.is_fixed_size_list(t):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(dtype, copy=False).reshape(
+                len(arr), t.list_size)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            import pyarrow.compute as pc
+            lengths = pc.list_value_length(arr)
+            mm = pc.min_max(lengths)
+            lo, hi = mm['min'].as_py(), mm['max'].as_py()
+            if lo is not None and lo == hi and lo > 0:
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return flat.astype(dtype, copy=False).reshape(
+                    len(arr), lo)
+    return np.asarray(arr.to_pylist(), dtype=dtype)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -46,7 +69,7 @@ class BatchTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column('vec_id').to_pylist(), dtype=np.int64)
+        ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
         vecs = _unit(_as_matrix(batch.column('embedding')))
         sims = self.queries @ vecs.T                       # (Q, B)
         nq = sims.shape[0]
@@ -227,8 +250,7 @@ def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
     cfs, cpath = storage.resolve(
         storage.join(index_dir, 'centroids.parquet'))
     cent = pq.read_table(cpath, filesystem=cfs)
-    centroids = np.asarray(cent.column('centroid').to_pylist(),
-                           dtype=np.float32)
+    centroids = _as_matrix(cent.column('centroid'))
     queries = _unit(np.asarray(queries, dtype=np.float32))
     probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(li) for row in probe_lists for li in row})
