@@ -844,6 +844,54 @@ def q_kg_incremental(sf_dir):
         batch_format='pyarrow')
 
 
+def q_kg_incremental2(sf_dir):
+    """CHAINED incremental maintenance: base 60% of conversations, then
+    two successive 20% deltas — the second ``merge_kg_delta`` merges
+    into the ALREADY-MERGED root, proving manifests compose (a merged
+    output validates as a base; its recorded layout gates the next
+    merge). Oracle: same SQL as ``kg_incremental`` — two chained merges
+    equal one full rebuild, bit for bit."""
+    import shutil
+
+    import ray.data
+    from yargy_ray.pipelines.incremental import merge_kg_delta
+    from yargy_ray.pipelines.kg import run_kg_pipeline
+
+    tpath = _transcripts_for(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = _SF_CONVS.get(name, 24)
+    cut1 = f'conv-{int(n_convs * 0.6):08d}'
+    cut2 = f'conv-{int(n_convs * 0.8):08d}'
+    root = f'/tmp/yargy_ray_cache/kg_inc2_v1_{name}_{n_convs}'
+
+    base_t, d1_t, d2_t = f'{root}/base_t', f'{root}/d1_t', f'{root}/d2_t'
+    if not os.path.exists(f'{root}/_SPLIT_DONE'):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(base_t), os.makedirs(d1_t), os.makedirs(d2_t)
+        ds = ray.data.read_parquet(tpath)
+        ds.filter(expr=f"conv_id < '{cut1}'").write_parquet(base_t)
+        ds.filter(
+            expr=f"conv_id >= '{cut1}' and conv_id < '{cut2}'"
+        ).write_parquet(d1_t)
+        ds.filter(expr=f"conv_id >= '{cut2}'").write_parquet(d2_t)
+        open(f'{root}/_SPLIT_DONE', 'w').close()
+
+    run_kg_pipeline(base_t, f'{root}/kg_base', concurrency=_pool(),
+                    num_partitions=16)
+    m1_root = f'{root}/kg_m1'
+    shutil.rmtree(m1_root, ignore_errors=True)
+    merge_kg_delta(f'{root}/kg_base', d1_t, m1_root,
+                   concurrency=_pool(), num_partitions=16)
+    m2_root = f'{root}/kg_m2'
+    shutil.rmtree(m2_root, ignore_errors=True)
+    merge_kg_delta(m1_root, d2_t, m2_root,
+                   concurrency=_pool(), num_partitions=16)
+    nodes = ray.data.read_parquet(f'{m2_root}/nodes')
+    return nodes.map_batches(
+        lambda b: b.select(['node_id', 'kind', 'norm', 'degree']),
+        batch_format='pyarrow')
+
+
 def q_kg_linked(sf_dir):
     """Gazetteer-backed entity linking over has_position triple objects
     (broadcast index via ray.put, morph-lemma lookup in actors)."""
@@ -1013,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_nodes': q_kg_nodes,
         'kg_edges': q_kg_edges,
         'kg_incremental': q_kg_incremental,
+        'kg_incremental2': q_kg_incremental2,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -1610,6 +1659,9 @@ def oracle_sql() -> dict[str, str]:
                kind, norm, COUNT(*) AS degree
         FROM incid GROUP BY kind, norm
     """
+    # two chained merges == one merge == one full rebuild: the chained
+    # query shares the kg_incremental oracle verbatim
+    out['kg_incremental2'] = out['kg_incremental']
     # co-mention pairs: distinct per-conversation entity sets self-join
     # (a < b under binary collation == numpy codepoint order for UTF-8).
     # conv_id recovery: turn-uid subjects carry it; the has_position
