@@ -1,13 +1,25 @@
-"""Scale stress for the round-2 operators: multi-million-row inputs,
+"""Scale stress for the wide operators: multi-million-row inputs,
 single node, 32 cpus — verifies the exchange shapes hold when the
 fixed per-exchange cost stops dominating and records throughput.
 
-* asof_join: N left rows against N/4 right rows across 50k keys.
+MEASUREMENT DISCIPLINE (VERDICT r03 #4): every op runs >= 2 INTERLEAVED
+reps (op1, op2, ..., op1, op2, ...) and reports best-of plus the raw
+list — a host-noise burst hits one rep of every op instead of silently
+inflating a single op's only number (the same fix bench.py got in r3).
+
+Ops:
+* asof_join: N left rows against pre-aggregated purchases, 50k keys.
+* hopping_window: N events, 3h/1h windows.
 * connected_components: planted chain graph (100k chains x 4 nodes)
   -> must converge in few rounds and return exactly 100k components.
-* hopping_window: N events, 3h/1h windows.
+* co_mention_edges: 300k conversations x 8 entities (8.4M raw pairs).
+* two_hop_counts: 2M random edges over 500k nodes.
+* doc_reconstruct_skew: 200k turns across 20k conversations PLUS one
+  giant conversation holding ~9% of all turns — pins the tail-latency
+  claim that the unsalted single-exchange reconstruction has row-linear
+  partition cost (no straggler blowup from one hot key).
 
-Usage: python scripts/stress_ops.py [N_events_millions]
+Usage: python scripts/stress_ops.py [N_events_millions] [--reps R]
 Appends a block to BASELINE.md when run with --record.
 """
 
@@ -47,54 +59,36 @@ def main():
                  include_dashboard=False, log_to_driver=False)
     import ray.data
 
-    from yargy_ray.stages.graph import connected_components
+    from yargy_ray.pipelines.documents import reconstruct_documents
+    from yargy_ray.pipelines.kg import co_mention_edges
+    from yargy_ray.stages.graph import connected_components, two_hop_counts
     from yargy_ray.stages.joins import asof_join
     from yargy_ray.stages.windows import hopping_window
 
-    n = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 and \
-        not sys.argv[1].startswith('-') else 4_000_000
-    out = {'n_events': n}
+    args = [a for a in sys.argv[1:] if not a.startswith('-')]
+    n = int(float(args[0]) * 1e6) if args else 4_000_000
+    reps = (int(sys.argv[sys.argv.index('--reps') + 1])
+            if '--reps' in sys.argv else 2)
 
-    events = ray.data.from_arrow(make_events(n)).repartition(128)
-    events = events.materialize()  # exclude generation from timings
+    # ---- inputs, materialized ONCE (generation excluded from timings)
+    events = ray.data.from_arrow(make_events(n)).repartition(
+        128).materialize()
 
     import __ray_entry__ as entrymod
     left = events.select_columns(['event_id', 'user_id', 'ts'])
     right = entrymod._sum_by_user_ts(
         events.filter(expr="event_type == 'purchase'")
         .select_columns(['user_id', 'ts', 'value']), 'pv',
-        num_partitions=128)
-    start = time.time()
-    n_joined = asof_join(left, right, by='user_id', on='ts',
-                         num_partitions=128).count()
-    el = time.time() - start
-    out['asof_join'] = {'rows': n_joined, 'sec': round(el, 1),
-                       'rows_per_sec': round(n_joined / el)}
+        num_partitions=128).materialize()
 
-    start = time.time()
-    n_win = hopping_window(events, size_hours=3, hop_hours=1).count()
-    el = time.time() - start
-    out['hopping_window'] = {'windows': n_win, 'sec': round(el, 1),
-                             'events_per_sec': round(n / el)}
-
-    # chain graph: 100k chains of 4 nodes (diameter forces 3+ rounds)
     k = 100_000
     a = np.concatenate([np.arange(k) * 4, np.arange(k) * 4 + 1,
                         np.arange(k) * 4 + 2])
-    pairs = ray.data.from_arrow(pa.table({
+    chain_pairs = ray.data.from_arrow(pa.table({
         'a': pa.array(a, type=pa.int64()),
         'b': pa.array(a + 1, type=pa.int64()),
-    })).repartition(64)
-    start = time.time()
-    comps = connected_components(pairs, num_partitions=64)
-    n_comp = comps.groupby('component').count().count()
-    el = time.time() - start
-    assert n_comp == k, n_comp
-    out['connected_components'] = {
-        'nodes': 4 * k, 'components': n_comp, 'sec': round(el, 1)}
+    })).repartition(64).materialize()
 
-    # co-mention: 300k conversations x 8 entities from a 10k pool
-    # -> 8.4M raw pair emissions through two exchanges
     n_convs, ents_per = 300_000, 8
     rng = np.random.RandomState(7)
     conv = np.repeat(np.arange(n_convs), ents_per)
@@ -109,33 +103,91 @@ def main():
         'obj': pa.array(pool[rng.randint(0, len(pool), len(conv))],
                         type=pa.string()),
     })).repartition(64).materialize()
-    from yargy_ray.pipelines.kg import co_mention_edges
-    start = time.time()
-    n_edges = co_mention_edges(trip, num_partitions=64).count()
-    el = time.time() - start
-    out['co_mention_edges'] = {
-        'convs': n_convs, 'edges': n_edges, 'sec': round(el, 1),
-        'pairs_per_sec': round(n_convs * ents_per * (ents_per - 1) / 2
-                               / el)}
 
-    # two-hop: 2M random edges over 500k nodes (avg degree 4 -> ~32M
-    # candidate pairs through the mid-join)
-    from yargy_ray.stages.graph import two_hop_counts
     m, nn = 2_000_000, 500_000
     g = ray.data.from_arrow(pa.table({
-        'src': pa.array(np.char.mod('n%06d',
-                                    rng.randint(0, nn, m)),
+        'src': pa.array(np.char.mod('n%06d', rng.randint(0, nn, m)),
                         type=pa.string()),
-        'dst': pa.array(np.char.mod('n%06d',
-                                    rng.randint(0, nn, m)),
+        'dst': pa.array(np.char.mod('n%06d', rng.randint(0, nn, m)),
                         type=pa.string()),
     })).repartition(64).materialize()
-    start = time.time()
-    n_nodes = two_hop_counts(g, num_partitions=64).count()
-    el = time.time() - start
-    out['two_hop_counts'] = {
-        'edges': m, 'nodes_out': n_nodes, 'sec': round(el, 1),
-        'edges_per_sec': round(m / el)}
+
+    # skewed turn table: 20k normal convs x 10 turns + ONE giant conv
+    # with 20k turns (~9% of all rows -> ~a whole partition's worth)
+    n_small, turns_per, giant_turns = 20_000, 10, 20_000
+    sc = np.repeat(np.arange(n_small), turns_per)
+    text = 'реплика о работе слово ' * 4
+    turns_tbl = pa.table({
+        'conv_id': pa.array(
+            np.concatenate([np.char.mod('conv-%08d', sc.astype(np.int64)),
+                            np.asarray(['giant'] * giant_turns,
+                                       dtype=object)]),
+            type=pa.string()),
+        'turn_idx': pa.array(
+            np.concatenate([np.tile(np.arange(turns_per), n_small),
+                            np.arange(giant_turns)]).astype(np.int32)),
+        'text': pa.array([text] * (n_small * turns_per + giant_turns),
+                         type=pa.string()),
+    })
+    turns = ray.data.from_arrow(turns_tbl).repartition(64).materialize()
+    n_turns = n_small * turns_per + giant_turns
+
+    # ---- ops (each closure re-executes its pipeline per rep) ----------
+    def op_asof():
+        rows = asof_join(left, right, by='user_id', on='ts',
+                         num_partitions=128).count()
+        return {'rows': rows, 'per_sec_of': rows}
+
+    def op_hopping():
+        wins = hopping_window(events, size_hours=3, hop_hours=1).count()
+        return {'windows': wins, 'per_sec_of': n}
+
+    def op_cc():
+        comps = connected_components(chain_pairs, num_partitions=64)
+        n_comp = comps.groupby('component').count().count()
+        assert n_comp == k, n_comp
+        return {'nodes': 4 * k, 'components': n_comp,
+                'per_sec_of': 4 * k}
+
+    def op_comention():
+        n_edges = co_mention_edges(trip, num_partitions=64).count()
+        return {'convs': n_convs, 'edges': n_edges,
+                'per_sec_of': n_convs * ents_per * (ents_per - 1) // 2}
+
+    def op_two_hop():
+        n_nodes = two_hop_counts(g, num_partitions=64).count()
+        return {'edges': m, 'nodes_out': n_nodes, 'per_sec_of': m}
+
+    def op_doc_skew():
+        docs = reconstruct_documents(turns, window=256)
+        n_docs = docs.count()
+        assert n_docs == n_small + 1, n_docs
+        return {'turns': n_turns, 'docs': n_docs,
+                'giant_turns': giant_turns, 'per_sec_of': n_turns}
+
+    ops = [('asof_join', op_asof), ('hopping_window', op_hopping),
+           ('connected_components', op_cc),
+           ('co_mention_edges', op_comention),
+           ('two_hop_counts', op_two_hop),
+           ('doc_reconstruct_skew', op_doc_skew)]
+
+    # ---- interleaved reps, best-of + raw ------------------------------
+    raw = {name: [] for name, _ in ops}
+    meta = {}
+    for _ in range(reps):
+        for name, fn in ops:
+            start = time.time()
+            meta[name] = fn()
+            raw[name].append(round(time.time() - start, 1))
+
+    out = {'n_events': n, 'reps': reps}
+    for name, _ in ops:
+        d = dict(meta[name])
+        per_of = d.pop('per_sec_of')
+        best = min(raw[name])
+        d.update(sec=best, raw_sec=raw[name],
+                 per_sec=round(per_of / best))
+        out[name] = d
 
     print(json.dumps(out))
     if '--record' in sys.argv:
@@ -143,8 +195,8 @@ def main():
             os.path.abspath(__file__))), 'BASELINE.md')
         with open(path, 'a') as f:
             f.write('\n## Operator stress ({}) — scripts/stress_ops.py'
-                    '\n\n`{}`\n'.format(
-                        time.strftime('%Y-%m-%d %H:%M:%S'),
+                    ' (interleaved best-of-{})\n\n`{}`\n'.format(
+                        time.strftime('%Y-%m-%d %H:%M:%S'), reps,
                         json.dumps(out)))
     ray.shutdown()
 
