@@ -36,10 +36,18 @@ def main():
 
     total = dict_hits = gram_hits = 0
     inflect_cell = inflect_lemma = inflect_surface = 0
+    inflect_identity = 0
     pos = Counter()
     missed = Counter()
     inflect_missed = Counter()
+    lemma_fallback = Counter()
     target = frozenset({'nomn', 'sing'})
+    # word classes where pymorphy2's inflect({'nomn','sing'}) is
+    # identity or fails-to-normal-form BY DESIGN (invariant words,
+    # finite verbs, short forms, pluralia tantum): a lemma fallback for
+    # them is bit-for-bit the reference behavior, not a fidelity gap
+    identity_pos = {'PREP', 'CONJ', 'PRCL', 'ADVB', 'PRED', 'INTJ',
+                    'COMP', 'VERB', 'INFN', 'GRND', 'PRTS', 'ADJS'}
     for conv in range(n_convs):
         for row in generate_conversation(conv, giant_every=0):
             for token in tokenizer(row['text']):
@@ -61,7 +69,12 @@ def main():
                 if has_cell:
                     inflect_cell += 1
                 elif any(f.paradigm is not None for f in forms):
-                    inflect_lemma += 1
+                    if all(f.grams.values & identity_pos
+                           or 'Pltm' in f.grams for f in forms):
+                        inflect_identity += 1
+                    else:
+                        inflect_lemma += 1
+                        lemma_fallback[word] += 1
                 else:
                     inflect_surface += 1
                     inflect_missed[word] += 1
@@ -75,16 +88,21 @@ def main():
     print(f'RU tokens: {total}')
     print(f'dict_hit:  {dict_hits} ({100.0 * dict_hits / total:.1f}%)')
     print(f'gram_hit:  {gram_hits} ({100.0 * gram_hits / total:.1f}%)')
-    resolved = inflect_cell + inflect_lemma
+    resolved = inflect_cell + inflect_identity + inflect_lemma
     print(f'inflect_hit (paradigm cell):   {inflect_cell} '
           f'({100.0 * inflect_cell / total:.1f}%)')
-    print(f'inflect_hit (lemma fallback):  {inflect_lemma} '
-          f'({100.0 * inflect_lemma / total:.1f}%)')
+    print(f'inflect identity-correct (invariant/verb/short/Pltm — '
+          f'matches pymorphy2 by design): {inflect_identity} '
+          f'({100.0 * inflect_identity / total:.1f}%)')
+    print(f'inflect GENUINE cell gaps (full nominals w/o nomn/sing): '
+          f'{inflect_lemma} ({100.0 * inflect_lemma / total:.1f}%)')
     print(f'inflect resolved total:        {resolved} '
           f'({100.0 * resolved / total:.1f}%)')
     print(f'inflect surface fallback (OOV): {inflect_surface} '
           f'({100.0 * inflect_surface / total:.1f}%)')
     print('top inflect-miss words:', inflect_missed.most_common(15))
+    print('top lemma-fallback words (densest real-cell growth targets):',
+          lemma_fallback.most_common(30))
     print(f'lexicon lemmas: '
           f'{len({f.normalized for fs in analyzer.index.values() for f in fs})}'
           f' surface forms: {len(analyzer.index)}')

@@ -305,6 +305,35 @@ FUNCTION_WORDS = [
 
 # corpus-frequent forms outside the regular generators
 EXTRA = [
+    # determiner 'весь' (pymorphy2: ADJF Apro) — full case paradigm, so
+    # inflected() of 'все'/'всю'/'всем' resolves through REAL cells
+    # (closing the last genuine nomn/sing gap, VERDICT r03 #7)
+    ('весь', frozenset({'ADJF', 'Apro'}), [
+        ('весь', frozenset({'masc', 'sing', 'nomn'})),
+        ('всего', frozenset({'masc', 'sing', 'gent'})),
+        ('всему', frozenset({'masc', 'sing', 'datv'})),
+        ('весь', frozenset({'masc', 'sing', 'accs', 'inan'})),
+        ('всем', frozenset({'masc', 'sing', 'ablt'})),
+        ('всём', frozenset({'masc', 'sing', 'loct'})),
+        ('вся', frozenset({'femn', 'sing', 'nomn'})),
+        ('всей', frozenset({'femn', 'sing', 'gent'})),
+        ('всей', frozenset({'femn', 'sing', 'datv'})),
+        ('всю', frozenset({'femn', 'sing', 'accs'})),
+        ('всей', frozenset({'femn', 'sing', 'ablt'})),
+        ('всей', frozenset({'femn', 'sing', 'loct'})),
+        ('всё', frozenset({'neut', 'sing', 'nomn'})),
+        ('всего', frozenset({'neut', 'sing', 'gent'})),
+        ('всему', frozenset({'neut', 'sing', 'datv'})),
+        ('всё', frozenset({'neut', 'sing', 'accs'})),
+        ('всем', frozenset({'neut', 'sing', 'ablt'})),
+        ('всём', frozenset({'neut', 'sing', 'loct'})),
+        ('все', frozenset({'plur', 'nomn'})),
+        ('всех', frozenset({'plur', 'gent'})),
+        ('всем', frozenset({'plur', 'datv'})),
+        ('все', frozenset({'plur', 'accs', 'inan'})),
+        ('всеми', frozenset({'plur', 'ablt'})),
+        ('всех', frozenset({'plur', 'loct'})),
+    ]),
     ('быть', frozenset({'VERB', 'impf'}), [
         ('быть', frozenset({'INFN'})),
         ('был', frozenset({'masc', 'sing', 'past', 'indc'})),
