@@ -770,6 +770,78 @@ def q_cust_totals_left(sf_dir):
     return hash_join(customer, totals, on='c_custkey', how='left')
 
 
+def q_kg_triangles(sf_dir):
+    """Per-node triangle counts over the STRONG co-mention graph
+    (weight >= 2): stages/graph.py:triangle_counts — wedge generation
+    oriented from the lowest corner, three pre-shrunk exchanges,
+    bounded per-node wedge work."""
+    import ray.data
+    from yargy_ray.pipelines.kg import co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    from yargy_ray.stages.graph import triangle_counts
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    strong = co_mention_edges(triples).filter(expr='weight >= 2')
+    return triangle_counts(strong)
+
+
+def q_kg_top_neighbors(sf_dir):
+    """Top-3 co-mention neighbors per entity by (weight desc, dst asc):
+    the symmetrized edge table through topk_per_group's single-exchange
+    partitioned reduce (grouping on the entity STRING; the hash column
+    only routes)."""
+    import ray.data
+    from yargy_ray.pipelines.kg import _hash64, co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    from yargy_ray.stages.sampling import topk_per_group
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    edges = co_mention_edges(triples)
+
+    def sym(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays([t.column('src').combine_chunks(),
+                                t.column('dst').combine_chunks()])
+        dst = pa.concat_arrays([t.column('dst').combine_chunks(),
+                                t.column('src').combine_chunks()])
+        w = pa.concat_arrays([t.column('weight').combine_chunks()] * 2)
+        out = pa.table({'src': src, 'dst': dst, 'weight': w})
+        return out.append_column('nkey', _hash64(out.column('src')))
+
+    top = topk_per_group(
+        edges.map_batches(sym, batch_format='pyarrow'),
+        ['nkey', 'src'], 'weight', k=3, tiebreak='dst')
+    return top.drop_columns(['nkey'])
+
+
+def q_kg_entity_stats(sf_dir):
+    """Per-entity mention statistics (mentions, distinct conversations,
+    first/last conversation) — pipelines/kg.py:entity_mention_stats,
+    map-side (kind, norm, conv) combine + one entity-keyed exchange."""
+    import ray.data
+    from yargy_ray.pipelines.kg import entity_mention_stats
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    return entity_mention_stats(triples)
+
+
+def q_user_funnel(sf_dir):
+    """Ordered funnel depth per user (click -> view -> purchase, each
+    stage strictly after the previous stage's earliest completion):
+    stages/windows.py:funnel_stages — one user-keyed exchange plus a
+    vectorized per-partition merge chain."""
+    from yargy_ray.stages.windows import funnel_stages
+    events = _read(sf_dir, 'events').select_columns(
+        ['user_id', 'ts', 'event_type'])
+    return funnel_stages(events)
+
+
 def q_kg_communities(sf_dir):
     """Entity communities: connected components over the STRONG
     co-mention graph (weight >= 2, i.e. entities co-appearing in at
@@ -1062,6 +1134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_edges': q_kg_edges,
         'kg_incremental': q_kg_incremental,
         'kg_incremental2': q_kg_incremental2,
+        'kg_triangles': q_kg_triangles,
+        'kg_top_neighbors': q_kg_top_neighbors,
+        'kg_entity_stats': q_kg_entity_stats,
+        'user_funnel': q_user_funnel,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -1696,6 +1772,58 @@ def oracle_sql() -> dict[str, str]:
           ON x.conv_id = y.conv_id AND x.ent < y.ent
         GROUP BY x.ent, y.ent
     """
+    # triangles of the strong co-mention graph: src < dst edges make
+    # the oriented 3-way self-join (x<y<z) enumerate each triangle once
+    out['kg_triangles'] = f"""
+        WITH com AS ({out['kg_comention']}),
+        e AS (SELECT src AS a, dst AS b FROM com WHERE weight >= 2),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node_id, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT x AS node_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node_id
+    """
+    # top-3 co-mention neighbors per entity, deterministic tiebreak
+    out['kg_top_neighbors'] = f"""
+        WITH com AS ({out['kg_comention']}),
+        sym AS (
+            SELECT src, dst, weight FROM com
+            UNION ALL
+            SELECT dst AS src, src AS dst, weight FROM com
+        )
+        SELECT src, dst, weight FROM sym
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY src ORDER BY weight DESC, dst) <= 3
+    """
+    # per-entity mention stats over object entities (has_position
+    # excluded: its subject is a person, not a turn uid)
+    out['kg_entity_stats'] = f"""
+        WITH {_triples_cte()}, ents AS (
+            SELECT CASE pred
+                       WHEN 'mentions_date' THEN 'date'
+                       WHEN 'mentions_amount' THEN 'amount'
+                       WHEN 'mentions_person' THEN 'person'
+                       WHEN 'mentions_address' THEN 'address'
+                       WHEN 'mentions_title' THEN 'title'
+                       WHEN 'cites_clause' THEN 'clause'
+                       ELSE 'value' END AS kind,
+                   obj AS norm,
+                   SPLIT_PART(subj, ':', 1) AS conv_id
+            FROM trip WHERE pred <> 'has_position'
+        )
+        SELECT kind, norm,
+               CAST(COUNT(*) AS BIGINT) AS mentions,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS convs,
+               MIN(conv_id) AS first_conv,
+               MAX(conv_id) AS last_conv
+        FROM ents GROUP BY kind, norm
+    """
     # entity communities: recursive min-label walk over the strong
     # (weight >= 2) co-mention graph; int node keys = first 60 bits of
     # the md5 node id, mirroring q_kg_communities
@@ -1857,6 +1985,25 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT event_id, UNNEST(REGEXP_EXTRACT_ALL(props, '\d+'))
                        AS value
             FROM events
+        """,
+        'user_funnel': """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                   WHERE event_type = 'click' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+                   LEFT JOIN s2 ON u.user_id = s2.user_id
+                   LEFT JOIN s3 ON u.user_id = s3.user_id
         """,
         'sessionize': """
             WITH marked AS (

@@ -811,3 +811,107 @@ def test_as_matrix_zero_copy_paths():
 
     # dtype plumbing on the fast path
     assert _as_matrix(var, dtype=np.float64).dtype == np.float64
+
+
+def test_triangle_counts(ray_session):
+    """K4 minus one edge = two triangles sharing an edge; orientation
+    must not depend on input edge order (any a/b orientation)."""
+    import ray.data
+
+    from yargy_ray.stages.graph import triangle_counts
+
+    # K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd.
+    # Mixed orientations on purpose.
+    edges = pa.table({
+        'src': ['a', 'c', 'a', 'b', 'd'],
+        'dst': ['b', 'a', 'd', 'c', 'b'],
+    })
+    got = triangle_counts(ray.data.from_arrow(edges),
+                          num_partitions=4).to_pandas()
+    assert dict(zip(got.node_id, got.triangles)) == {
+        'a': 2, 'b': 2, 'c': 1, 'd': 1}
+
+
+def test_triangle_counts_wedge_cap(ray_session):
+    """A fan hub (hub-x_i edges + x_i-x_{i+1} chain) trimmed to
+    max_wedge_degree bounds wedge work; the capped node is reported."""
+    import ray.data
+
+    from yargy_ray.stages.graph import (
+        CAPPED_WEDGE_STAT_ID,
+        triangle_counts,
+    )
+
+    n = 20
+    xs = [f'x{i:02d}' for i in range(n)]
+    edges = pa.table({
+        'src': ['a'] * n + xs[:-1],
+        'dst': xs + xs[1:],
+    })
+    full = triangle_counts(ray.data.from_arrow(edges),
+                           num_partitions=4).to_pandas()
+    assert full[full.node_id == 'a'].triangles.tolist() == [n - 1]
+
+    capped = triangle_counts(ray.data.from_arrow(edges),
+                             num_partitions=4, max_wedge_degree=5,
+                             include_capped_stat=True).to_pandas()
+    stat = capped[capped.node_id == CAPPED_WEDGE_STAT_ID]
+    assert stat.triangles.tolist() == [1]          # 'a' was capped
+    # counts are lower bounds under a cap: only wedges among the first
+    # 5 of a's neighbors survive -> 4 chain triangles through 'a'
+    a_row = capped[capped.node_id == 'a']
+    assert a_row.triangles.tolist() == [4]
+
+
+def test_funnel_stages(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.windows import funnel_stages
+
+    base = np.datetime64('2024-01-01T00:00:00', 'us')
+
+    def ev(user, minute, typ):
+        return {'user_id': user, 'ts': base + np.timedelta64(minute, 'm'),
+                'event_type': typ}
+
+    rows = (
+        # user 1: full ordered funnel
+        [ev(1, 0, 'click'), ev(1, 5, 'view'), ev(1, 9, 'purchase')]
+        # user 2: purchase BEFORE view -> stage 2 only
+        + [ev(2, 0, 'click'), ev(2, 1, 'purchase'), ev(2, 2, 'view')]
+        # user 3: view before any click -> stage 1 only
+        + [ev(3, 0, 'view'), ev(3, 1, 'click')]
+        # user 4: never clicks -> stage 0
+        + [ev(4, 0, 'view'), ev(4, 1, 'purchase')]
+        # user 5: tie timestamps — strict '>' rejects the same-minute view
+        + [ev(5, 0, 'click'), ev(5, 0, 'view')]
+    )
+    got = funnel_stages(ray.data.from_items(rows),
+                        num_partitions=4).to_pandas()
+    assert dict(zip(got.user_id, got.funnel_stage)) == {
+        1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_entity_mention_stats(ray_session):
+    import ray.data
+
+    from yargy_ray.pipelines.kg import entity_mention_stats
+
+    triples = pa.table({
+        'conv_id': ['c1', 'c1', 'c2', 'c3', 'c2'],
+        'subj': ['c1:0', 'c1:1', 'c2:0', 'иван', 'c2:1'],
+        'pred': ['mentions_date', 'mentions_date', 'mentions_date',
+                 'has_position', 'mentions_person'],
+        'obj': ['2020-01-01', '2020-01-01', '2020-01-01',
+                'директор', 'иван'],
+    })
+    got = entity_mention_stats(ray.data.from_arrow(triples),
+                               num_partitions=4).to_pandas()
+    got = got.set_index(['kind', 'norm'])
+    date = got.loc[('date', '2020-01-01')]
+    assert (date.mentions, date.convs, date.first_conv,
+            date.last_conv) == (3, 2, 'c1', 'c2')
+    person = got.loc[('person', 'иван')]
+    assert (person.mentions, person.convs) == (1, 1)
+    # has_position excluded entirely
+    assert ('position', 'директор') not in got.index

@@ -438,6 +438,63 @@ def top_degree_nodes(nodes_ds, k=20):
     return nodes_ds.sort('degree', descending=True).limit(k)
 
 
+def entity_mention_stats(triples_ds, num_partitions=64):
+    """Per-entity mention statistics over the OBJECT entities of the
+    mention predicates (``has_position`` excluded — its subject is a
+    person, not a turn): total mentions, distinct conversations, and
+    the first/last conversation id.
+
+    Scale shape: map-side partial aggregation per (kind, norm, conv_id)
+    (Arrow hash groupby shrinks each batch to its distinct entity-conv
+    incidences), then ONE hash exchange on the entity key and a
+    vectorized pandas final aggregate — distinct-conversation counting
+    stays exact because every entity's partials co-locate.
+    """
+    import numpy as np
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.not_equal(batch.column('pred'), 'has_position'))
+        incid = pa.table({
+            'kind': _obj_kind(keep.column('pred')),
+            'norm': keep.column('obj'),
+            'conv_id': keep.column('conv_id'),
+        })
+        agg = pa.TableGroupBy(incid, ['kind', 'norm', 'conv_id']
+                              ).aggregate([([], 'count_all')])
+        return agg.rename_columns(['kind', 'norm', 'conv_id',
+                                   'mentions'])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ent = pc.binary_join_element_wise(
+            batch.column('kind'), batch.column('norm'), ':')
+        return batch.append_column('ekey', _hash64(ent))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['kind', 'norm', 'conv_id',
+                           'mentions']).to_pandas()
+        # partials from different batches may repeat a (kind, norm,
+        # conv_id): combine first, then aggregate per entity
+        per_conv = df.groupby(['kind', 'norm', 'conv_id'], sort=False,
+                              as_index=False)['mentions'].sum()
+        agg = per_conv.groupby(['kind', 'norm'], sort=False).agg(
+            mentions=('mentions', 'sum'),
+            convs=('conv_id', 'nunique'),
+            first_conv=('conv_id', 'min'),
+            last_conv=('conv_id', 'max')).reset_index()
+        agg['mentions'] = agg['mentions'].astype(np.int64)
+        agg['convs'] = agg['convs'].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partial = triples_ds.map_batches(partials, batch_format='pyarrow',
+                                     batch_size=8192)
+    return partitioned_reduce(
+        partial.map_batches(keyed, batch_format='pyarrow'),
+        'ekey', reduce_fn, num_partitions, coalesce='auto')
+
+
 # ---------------------------------------------------------------------------
 # Co-mention edges
 # ---------------------------------------------------------------------------

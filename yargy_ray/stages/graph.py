@@ -214,6 +214,154 @@ def connected_components(pairs_ds, a='a', b='b', num_partitions=64,
                 pass
 
 
+MAX_WEDGE_DEGREE = 4096  # bounded-work cap for triangle counting: a
+# node with k higher neighbors emits C(k, 2) wedges from its partition
+
+_CAPPED_WEDGE_SENTINEL = '\x00__capped_wedges__'
+CAPPED_WEDGE_STAT_ID = '__capped_wedges__'
+
+
+def triangle_counts(edges_ds, a='src', b='dst', num_partitions=64,
+                    max_wedge_degree=MAX_WEDGE_DEGREE,
+                    include_capped_stat=False):
+    """Per-node triangle counts of an undirected simple graph given as
+    one row per undirected edge (any orientation — edges are
+    canonicalized to ``lo < hi`` in NODE-ID order internally; the
+    co-mention table orders pairs by entity string, which md5 ids do
+    not preserve).
+
+    Scale shape — three exchanges, all pre-shrunk:
+
+    1. edges co-partition on ``hash(a)`` (each node's lower-endpoint
+       edges co-locate): per node, every pair ``x < y`` of its HIGHER
+       neighbors becomes a wedge ``(x, y, witness)`` — orientation by
+       node id means each triangle ``{w < x < y}`` is generated exactly
+       once, from its lowest corner;
+    2. wedges + edges co-partition on ``hash(x)``: a wedge closes iff
+       ``(x, y)`` is an edge (vectorized pandas inner merge on the
+       STRINGS — hashes only route); closed triangles emit one partial
+       count row per corner, pre-combined map-side;
+    3. count rows co-partition on ``hash(node)`` for the global sum.
+
+    ``max_wedge_degree`` bounds the C(k, 2) wedge blowup per node
+    (deterministic first-k higher neighbors in sort order). Counts
+    involving a capped node are LOWER bounds; capped nodes are counted
+    and surfaced as a ``(node_id='__capped_wedges__', triangles=N)``
+    row when ``include_capped_stat=True``.
+    """
+    import pandas as pd
+
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def orient(batch: pa.Table) -> pa.Table:
+        """Canonical lo < hi orientation in node-id space."""
+        x, y = batch.column(a), batch.column(b)
+        lt = pc.less(x, y)
+        return pa.table({'a': pc.if_else(lt, x, y),
+                         'b': pc.if_else(lt, y, x)})
+
+    def keyed_edges(batch: pa.Table) -> pa.Table:
+        t = orient(batch)
+        return t.append_column('wkey', _hash64(t.column('a')))
+
+    def wedges_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['a', 'b']).to_pandas().drop_duplicates()
+        df = df.sort_values(['a', 'b'], kind='mergesort')
+        nth = df.groupby('a', sort=False).cumcount().to_numpy()
+        over = pd.unique(df['a'].to_numpy()[nth >= max_wedge_degree])
+        df = df[nth < max_wedge_degree]
+        arr_a = df['a'].to_numpy()
+        arr_b = df['b'].to_numpy()
+        cuts = np.flatnonzero(arr_a[1:] != arr_a[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        stops = np.concatenate((cuts, [len(arr_a)]))
+        xs, ys, ws = [], [], []
+        for start, stop in zip(starts, stops):
+            k = stop - start
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            nb = arr_b[start:stop]          # ascending -> x < y holds
+            xs.append(nb[i])
+            ys.append(nb[j])
+            ws.append(np.repeat(arr_a[start], len(i)))
+        empty = np.array([], dtype=object)
+        x = np.concatenate(xs) if xs else empty
+        y = np.concatenate(ys) if ys else empty
+        w = np.concatenate(ws) if ws else empty
+        if len(over):
+            x = np.concatenate([x, np.full(len(over),
+                                           _CAPPED_WEDGE_SENTINEL,
+                                           dtype=object)])
+            y = np.concatenate([y, over])
+            w = np.concatenate([w, np.full(len(over), '', dtype=object)])
+        return pa.table({'x': pa.array(x, type=pa.string()),
+                         'y': pa.array(y, type=pa.string()),
+                         'w': pa.array(w, type=pa.string())})
+
+    wedges = partitioned_reduce(
+        edges_ds.map_batches(keyed_edges, batch_format='pyarrow'),
+        'wkey', wedges_fn, num_partitions, coalesce='auto')
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        t = batch.select(['x', 'y', 'w'])
+        t = t.append_column('side', pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+        return t.append_column('xkey', _hash64(t.column('x')))
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        o = orient(batch)
+        n = o.num_rows
+        t = pa.table({'x': o.column('a'), 'y': o.column('b'),
+                      'w': pa.array([''] * n, type=pa.string()),
+                      'side': pa.array(np.zeros(n, dtype=np.int8))})
+        return t.append_column('xkey', _hash64(t.column('x')))
+
+    tagged = (wedges.map_batches(tag_wedge, batch_format='pyarrow')
+              .union(edges_ds.map_batches(tag_edge,
+                                          batch_format='pyarrow')))
+
+    def close_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['x', 'y', 'w', 'side']).to_pandas()
+        wdf = df[df['side'] == 1]
+        sent = wdf[wdf['x'] == _CAPPED_WEDGE_SENTINEL]
+        wdf = wdf[wdf['x'] != _CAPPED_WEDGE_SENTINEL]
+        edf = df[df['side'] == 0][['x', 'y']].drop_duplicates()
+        closed = wdf.merge(edf, on=['x', 'y'])
+        corners = pd.concat([closed['w'], closed['x'], closed['y']],
+                            ignore_index=True)
+        agg = corners.value_counts()
+        node = agg.index.to_numpy(dtype=object)
+        n = agg.to_numpy(dtype=np.int64)
+        if len(sent):
+            # every capped node lands in ONE wedge partition, so the
+            # per-partition distinct is globally exact
+            node = np.concatenate([node, [CAPPED_WEDGE_STAT_ID]])
+            n = np.concatenate([n, [sent['y'].nunique()]])
+        return pa.table({'node_id': pa.array(node, type=pa.string()),
+                         'triangles': pa.array(n, type=pa.int64())})
+
+    partial = partitioned_reduce(tagged, 'xkey', close_fn,
+                                 num_partitions, coalesce='auto')
+
+    def keyed_counts(batch: pa.Table) -> pa.Table:
+        return batch.append_column('nkey',
+                                   _hash64(batch.column('node_id')))
+
+    def sum_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['node_id', 'triangles']).to_pandas()
+        agg = df.groupby('node_id', sort=False,
+                         as_index=False)['triangles'].sum()
+        if not include_capped_stat:
+            agg = agg[agg['node_id'] != CAPPED_WEDGE_STAT_ID]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partitioned_reduce(
+        partial.map_batches(keyed_counts, batch_format='pyarrow'),
+        'nkey', sum_fn, num_partitions, coalesce='auto')
+
+
 MAX_MID_DEGREE = 4096  # bounded-work cap: a mid node with in-degree i
 # and out-degree o emits i*o candidate pairs inside ONE partition — a
 # celebrity entity on a power-law graph would OOM it. Deterministic

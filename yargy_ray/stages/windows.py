@@ -179,3 +179,48 @@ def hopping_window(events_ds, size_hours=3, hop_hours=1):
             batch.column('window_start').cast(pa.timestamp('us')))
 
     return out.map_batches(restore_unit, batch_format='pyarrow')
+
+
+def funnel_stages(events_ds, stages=('click', 'view', 'purchase'),
+                  num_partitions=64):
+    """Ordered-funnel depth per user: stage k (1-based) completes when
+    an event of type ``stages[k-1]`` occurs STRICTLY after the user's
+    earliest completion time of stage k-1 (stage 1 is the earliest
+    event of its type). Returns one (user_id, funnel_stage) row per
+    distinct user; users who never reach stage 1 report 0.
+
+    Scale shape: ONE hash exchange on ``user_id`` (every user's events
+    co-locate), then a vectorized per-partition chain of len(stages)
+    pandas merge/groupby-min steps — no per-user UDF calls. Strict
+    '>' ordering makes the result deterministic under timestamp ties.
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = table.select(['user_id', 'ts', 'event_type']).to_pandas()
+        users = pd.Series(df['user_id'].unique(), name='user_id')
+        depth = pd.Series(np.zeros(len(users), dtype=np.int64),
+                          index=users.to_numpy())
+        cur = None
+        for k, stage in enumerate(stages):
+            ev = df[df['event_type'] == stage]
+            if k == 0:
+                t = ev.groupby('user_id')['ts'].min()
+            else:
+                m = ev.merge(cur.rename('prev_t'), left_on='user_id',
+                             right_index=True)
+                m = m[m['ts'] > m['prev_t']]
+                t = m.groupby('user_id')['ts'].min()
+            if t.empty:
+                break
+            cur = t
+            depth.loc[t.index] = k + 1
+        return pa.table({
+            'user_id': pa.array(depth.index.to_numpy(dtype=np.int64)),
+            'funnel_stage': pa.array(depth.to_numpy(dtype=np.int64)),
+        })
+
+    return partitioned_reduce(
+        events_ds.select_columns(['user_id', 'ts', 'event_type']),
+        'user_id', reduce_fn, num_partitions, coalesce='auto')
