@@ -831,6 +831,48 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_kg_pair_overlap(sf_dir):
+    """Conversation-set overlap per co-mention pair: weight = |A ∩ B|
+    (conversations mentioning both) plus each endpoint's distinct
+    conversation count — the integer numerator/denominator pieces of
+    pairwise entity Jaccard, exactly SQL-checkable. Composition:
+    co_mention_edges x entity_conv_counts through two broadcast joins
+    (the count table is entity-cardinality — the broadcast small side)."""
+    import ray.data
+    from yargy_ray.pipelines.kg import co_mention_edges, entity_conv_counts
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    from yargy_ray.stages.joins import broadcast_join
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    edges = co_mention_edges(triples)
+    counts = entity_conv_counts(triples)
+
+    def rn(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [name if c == 'convs' else c for c in batch.column_names])
+        return fn
+
+    j1 = broadcast_join(edges, counts, 'src', 'node_id',
+                        ['convs']).map_batches(
+        rn('convs_src'), batch_format='pyarrow')
+    return broadcast_join(j1, counts, 'dst', 'node_id',
+                          ['convs']).map_batches(
+        rn('convs_dst'), batch_format='pyarrow')
+
+
+def q_doc_top_terms(sf_dir):
+    """Keyword extraction: top-3 terms per document by (tf desc, token)
+    with corpus document frequency attached — stages/text.py:
+    doc_top_terms (map-local tf, one token-keyed df exchange broadcast
+    back, one doc-keyed top-k exchange). Integer outputs only."""
+    from yargy_ray.stages.text import doc_top_terms
+    docs = _read(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    return doc_top_terms(docs, k=3, concurrency=_pool())
+
+
 def q_user_funnel(sf_dir):
     """Ordered funnel depth per user (click -> view -> purchase, each
     stage strictly after the previous stage's earliest completion):
@@ -1138,6 +1180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_top_neighbors': q_kg_top_neighbors,
         'kg_entity_stats': q_kg_entity_stats,
         'user_funnel': q_user_funnel,
+        'doc_top_terms': q_doc_top_terms,
+        'kg_pair_overlap': q_kg_pair_overlap,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -1744,8 +1788,9 @@ def oracle_sql() -> dict[str, str]:
     # person subj is always paired with a same-sentence mentions_person
     # obj (UNION dedups), so only the position entity needs its own
     # sentence-level branch.
-    out['kg_comention'] = f"""
-        WITH {_triples_cte()}, ents AS (
+    # shared by kg_comention / kg_pair_overlap: the distinct
+    # per-conversation entity incidences
+    ents_cte = """ents AS (
             SELECT DISTINCT SPLIT_PART(subj, ':', 1) AS conv_id,
                    (CASE pred
                         WHEN 'mentions_date' THEN 'date'
@@ -1764,13 +1809,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sents
             WHERE REGEXP_MATCHES(sent,
                 '^на встрече был [а-яё]+ [А-ЯЁ][а-яё]+ [А-ЯЁ][а-яё]+$')
-        )
+        )"""
+    coment_select = """
         SELECT SUBSTR(MD5(x.ent), 1, 16) AS src,
                SUBSTR(MD5(y.ent), 1, 16) AS dst,
                COUNT(*) AS weight
         FROM ents x JOIN ents y
           ON x.conv_id = y.conv_id AND x.ent < y.ent
-        GROUP BY x.ent, y.ent
+        GROUP BY x.ent, y.ent"""
+    out['kg_comention'] = f"""
+        WITH {_triples_cte()}, {ents_cte}
+        {coment_select}
+    """
+    # conversation-set overlap per pair: |A∩B| (= the co-mention
+    # weight) with each endpoint's distinct-conversation count
+    out['kg_pair_overlap'] = f"""
+        WITH {_triples_cte()}, {ents_cte},
+        com AS ({coment_select}),
+        cnt AS (
+            SELECT SUBSTR(MD5(ent), 1, 16) AS id,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS convs
+            FROM ents GROUP BY ent
+        )
+        SELECT com.src, com.dst, com.weight,
+               cs.convs AS convs_src, cd.convs AS convs_dst
+        FROM com JOIN cnt cs ON cs.id = com.src
+                 JOIN cnt cd ON cd.id = com.dst
     """
     # triangles of the strong co-mention graph: src < dst edges make
     # the oriented 3-way self-join (x<y<z) enumerate each triangle once
@@ -2071,6 +2135,23 @@ def _oracle_sql_dict() -> dict[str, str]:
                          CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
                               AS HUGEINT) % 1000000 AS b
                   FROM documents)
+        """,
+        'doc_top_terms': r"""
+            WITH toks AS (
+                SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY token
+            )
+            SELECT tf.doc_id, tf.token, tf.tf, df.df
+            FROM tf JOIN df USING (token)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.token) <= 3
         """,
         'vocab_counts': r"""
             WITH toks AS (

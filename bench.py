@@ -165,6 +165,7 @@ SECONDARY_PICKS = [
     'asof_purchase', 'session_assign', 'hopping_window',
     'priority_revenue', 'user_value_quantiles', 'doc_reconstruct',
     'kg_comention', 'kg_two_hop',
+    'kg_triangles', 'kg_entity_stats', 'user_funnel',
 ]
 
 

@@ -915,3 +915,24 @@ def test_entity_mention_stats(ray_session):
     assert (person.mentions, person.convs) == (1, 1)
     # has_position excluded entirely
     assert ('position', 'директор') not in got.index
+
+
+def test_doc_top_terms(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.text import doc_top_terms
+
+    docs = ray.data.from_items([
+        {'doc_id': 0, 'text': 'b b b a a c shared'},
+        {'doc_id': 1, 'text': 'z z a shared shared'},
+        {'doc_id': 2, 'text': 'only'},
+    ])
+    got = doc_top_terms(docs, k=2, num_partitions=4).to_pandas()
+    got = got.sort_values(['doc_id', 'tf', 'token'],
+                          ascending=[True, False, True])
+    by_doc = {d: list(zip(g.token, g.tf, g.df))
+              for d, g in got.groupby('doc_id')}
+    # doc 0: b(3), a(2); doc 1: shared(2) and z(2) tie -> token asc
+    assert by_doc[0] == [('b', 3, 1), ('a', 2, 2)]
+    assert by_doc[1] == [('shared', 2, 2), ('z', 2, 1)]
+    assert by_doc[2] == [('only', 1, 1)]

@@ -520,6 +520,39 @@ def _emit_conv_entities(batch: pa.Table) -> pa.Table:
     return pa.TableGroupBy(incid, ['conv_id', 'kind', 'norm']).aggregate([])
 
 
+def entity_conv_counts(triples_ds, num_partitions=64):
+    """Distinct-conversation count per CO-MENTION entity (the same
+    entity universe as :func:`co_mention_edges` — object nodes plus
+    ``has_position`` person subjects), keyed by the content-hash node
+    id. Map-side distinct incidences, ONE entity-keyed exchange with
+    exact distinct counting (every entity's incidences co-locate).
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    incid = triples_ds.map_batches(
+        _emit_conv_entities, batch_format='pyarrow', batch_size=8192)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ent = pc.binary_join_element_wise(
+            batch.column('kind'), batch.column('norm'), ':')
+        return batch.append_column('ekey', _hash64(ent))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['conv_id', 'kind', 'norm']).to_pandas()
+        df = df.drop_duplicates()
+        ent = df['kind'] + ':' + df['norm']
+        counts = ent.value_counts()
+        return pa.table({
+            'node_id': pa.array([node_id_of(e) for e in counts.index],
+                                type=pa.string()),
+            'convs': pa.array(counts.to_numpy(), type=pa.int64()),
+        })
+
+    return partitioned_reduce(
+        incid.map_batches(keyed, batch_format='pyarrow'),
+        'ekey', reduce_fn, num_partitions, coalesce='auto')
+
+
 MAX_CONV_ENTITIES = 4096  # bounded-work cap: a conversation mentioning
 # E distinct entities emits E*(E-1)/2 pairs; cap keeps one pathological
 # conversation from emitting O(E^2) rows (deterministic trim: first E

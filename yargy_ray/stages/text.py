@@ -214,3 +214,70 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
 def bpe_token_counts(docs_ds):
     return docs_ds.map_batches(bpe_token_count_batch,
                                batch_format='pyarrow')
+
+
+def _doc_term_partial(batch: pa.Table) -> pa.Table:
+    """Per-document term frequencies for one batch. One row per doc in
+    the input contract, so the per-batch groupby is already the COMPLETE
+    tf for its docs (no cross-batch combine needed)."""
+    import pyarrow.compute as pc
+    split = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(batch.column('text'))),
+        r'\s+')
+    toks = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split)
+    pairs = pa.table({
+        'doc_id': pc.take(batch.column('doc_id'), parents),
+        'token': toks,
+    }).filter(pc.not_equal(toks, ''))
+    agg = pa.TableGroupBy(pairs, ['doc_id', 'token']).aggregate(
+        [([], 'count_all')])
+    return pa.table({'doc_id': agg.column('doc_id'),
+                     'token': agg.column('token'),
+                     'tf': agg.column('count_all').cast(pa.int64())})
+
+
+def doc_top_terms(docs_ds, k=3, num_partitions=64, concurrency=(1, 4)):
+    """Keyword extraction: the top-``k`` terms of every document by
+    (tf desc, token asc), each annotated with its corpus document
+    frequency — the tf/df building block of TF-IDF-style corpus
+    curation, with INTEGER outputs so the SQL oracle compares exactly.
+
+    Scale shape: per-doc tf is map-local (one doc per row); df is one
+    token-keyed exchange over the DISTINCT (doc, token) pairs (Heaps'
+    law: sub-linear in corpus size) whose result is broadcast back
+    (``ray.put`` once, vectorized Arrow join per batch — the df table
+    is vocabulary-sized; swap the broadcast for a hash co-partition
+    join if a corpus's vocabulary outgrows worker memory); the final
+    top-k is ONE doc-keyed exchange (topk_per_group).
+    """
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+    from yargy_ray.stages.joins import broadcast_join
+    from yargy_ray.stages.sampling import topk_per_group
+
+    tf = docs_ds.map_batches(_doc_term_partial, batch_format='pyarrow')
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts = batch.column('token').value_counts()
+        return pa.table({'token': counts.field('values'),
+                         'df': counts.field('counts').cast(pa.int64())})
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('vkey', _hash64(batch.column('token')))
+
+    def sum_fn(table: pa.Table) -> pa.Table:
+        d = table.select(['token', 'df']).to_pandas()
+        agg = d.groupby('token', sort=False, as_index=False)['df'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    df = partitioned_reduce(
+        tf.map_batches(df_partial, batch_format='pyarrow').map_batches(
+            keyed, batch_format='pyarrow'),
+        'vkey', sum_fn, num_partitions, coalesce='auto')
+
+    joined = broadcast_join(tf, df, 'token', 'token', ['df'],
+                            concurrency=concurrency)
+    return topk_per_group(joined, 'doc_id', 'tf', k=k,
+                          tiebreak='token',
+                          num_partitions=num_partitions)
