@@ -831,6 +831,40 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+_NODE_KINDS = ('turn', 'date', 'amount', 'person', 'address', 'title',
+               'clause', 'position')
+
+
+def q_kg_degree_quantiles(sf_dir):
+    """Degree distribution per node kind: exact p50/p90 over the node
+    table (stages/sampling.py:group_quantiles — one exchange,
+    vectorized across groups; the closed kind set maps to a fixed int
+    key for the exchange and back after)."""
+    from yargy_ray.stages.sampling import group_quantiles
+    nodes = q_kg_nodes(sf_dir)
+    kinds = pa.array(_NODE_KINDS, type=pa.string())
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column('kind'), value_set=kinds)
+        return pa.table({
+            'kind_id': pc.cast(idx, pa.int64()),
+            'degree': pc.cast(batch.column('degree'), pa.float64()),
+        })
+
+    out = group_quantiles(
+        nodes.map_batches(to_key, batch_format='pyarrow'),
+        'kind_id', 'degree', qs=(0.5, 0.9))
+
+    def back(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'kind': pc.take(kinds, batch.column('kind_id')),
+            'q50': batch.column('q50'),
+            'q90': batch.column('q90'),
+        })
+
+    return out.map_batches(back, batch_format='pyarrow')
+
+
 def q_kg_pair_overlap(sf_dir):
     """Conversation-set overlap per co-mention pair: weight = |A ∩ B|
     (conversations mentioning both) plus each endpoint's distinct
@@ -1182,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'user_funnel': q_user_funnel,
         'doc_top_terms': q_doc_top_terms,
         'kg_pair_overlap': q_kg_pair_overlap,
+        'kg_degree_quantiles': q_kg_degree_quantiles,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -1782,6 +1817,14 @@ def oracle_sql() -> dict[str, str]:
     # two chained merges == one merge == one full rebuild: the chained
     # query shares the kg_incremental oracle verbatim
     out['kg_incremental2'] = out['kg_incremental']
+    # degree distribution per kind over the node table; quantile_cont's
+    # a*(1-f)+b*f interpolation matches group_quantiles bit-for-bit
+    out['kg_degree_quantiles'] = f"""
+        WITH nodes AS ({out['kg_nodes']})
+        SELECT kind, QUANTILE_CONT(degree, 0.5) AS q50,
+               QUANTILE_CONT(degree, 0.9) AS q90
+        FROM nodes GROUP BY kind
+    """
     # co-mention pairs: distinct per-conversation entity sets self-join
     # (a < b under binary collation == numpy codepoint order for UTF-8).
     # conv_id recovery: turn-uid subjects carry it; the has_position

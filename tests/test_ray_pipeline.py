@@ -212,3 +212,24 @@ def test_jsonl_source(ray_session, tmp_path):
     assert got[1]['tool'] == 'search'
     mentions = extract_mentions(ds, concurrency=(1, 1)).take_all()
     assert any(m['rule'] == 'clause' for m in mentions)
+
+
+def test_csv_source(ray_session, tmp_path):
+    """CSV logs normalize into the canonical transcripts schema and
+    feed extraction unchanged (shared normalization with JSONL)."""
+    from yargy_ray.sources.csvsrc import read_transcripts_csv
+    from yargy_ray.sources.transcripts import TRANSCRIPT_SCHEMA
+    from yargy_ray.stages.extract import extract_mentions
+
+    path = tmp_path / 'log.csv'
+    path.write_text(
+        'conv_id,turn_idx,role,text,ts\n'
+        'c1,0,user,согласно ст. 14 п. 3 договора,2024-01-01T00:00:00\n'
+        'c1,1,assistant,хорошо,2024-01-01T00:01:00\n')
+    ds = read_transcripts_csv(str(path))
+    assert ds.schema().names == TRANSCRIPT_SCHEMA.names
+    got = {r['turn_idx']: r for r in ds.iter_rows()}
+    assert got[0]['tool'] == ''           # missing column filled
+    assert got[1]['role'] == 'assistant'
+    mentions = extract_mentions(ds, concurrency=(1, 1)).take_all()
+    assert any(m['rule'] == 'clause' for m in mentions)

@@ -936,3 +936,43 @@ def test_doc_top_terms(ray_session):
     assert by_doc[0] == [('b', 3, 1), ('a', 2, 2)]
     assert by_doc[1] == [('shared', 2, 2), ('z', 2, 1)]
     assert by_doc[2] == [('only', 1, 1)]
+
+
+def test_round4_operators_empty_inputs(ray_session):
+    """Empty datasets flow through the round-4 operators without
+    schema or reduce crashes."""
+    import ray.data
+
+    from yargy_ray.pipelines.kg import (
+        entity_conv_counts,
+        entity_mention_stats,
+    )
+    from yargy_ray.stages.graph import triangle_counts
+    from yargy_ray.stages.text import doc_top_terms
+    from yargy_ray.stages.windows import funnel_stages
+
+    empty_edges = ray.data.from_arrow(pa.table({
+        'src': pa.array([], pa.string()),
+        'dst': pa.array([], pa.string())}))
+    assert triangle_counts(empty_edges, num_partitions=2).count() == 0
+
+    empty_triples = ray.data.from_arrow(pa.table({
+        'conv_id': pa.array([], pa.string()),
+        'subj': pa.array([], pa.string()),
+        'pred': pa.array([], pa.string()),
+        'obj': pa.array([], pa.string())}))
+    assert entity_mention_stats(empty_triples,
+                                num_partitions=2).count() == 0
+    assert entity_conv_counts(empty_triples,
+                              num_partitions=2).count() == 0
+
+    empty_events = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([], pa.int64()),
+        'ts': pa.array([], pa.timestamp('us')),
+        'event_type': pa.array([], pa.string())}))
+    assert funnel_stages(empty_events, num_partitions=2).count() == 0
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([], pa.int64()),
+        'text': pa.array([], pa.string())}))
+    assert doc_top_terms(empty_docs, num_partitions=2).count() == 0

@@ -174,9 +174,12 @@ def asof_join(left_ds, right_ds, by, on, direction='backward',
                         frame[col].dtype.numpy_dtype)
         merged = pd.merge_asof(left, right, on=on, by=by,
                                direction=direction)
+        # drop the embedded pandas-dtype metadata: downstream
+        # to_pandas would otherwise resurrect the nullable Int64
+        # working dtypes instead of plain int64
         return pa.Table.from_pandas(
             merged[left_names + val_names], schema=out_schema,
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     return partitioned_reduce(tagged, by, reduce_fn, num_partitions,
                               coalesce=coalesce)
@@ -305,9 +308,12 @@ def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
             merged = left.reindex(columns=list(out_schema.names))
         else:
             merged = left.merge(right, on=on, how=how)
+        # metadata stripped so the nullable Int64 working dtypes never
+        # leak into downstream to_pandas conversions
         return pa.Table.from_pandas(merged[list(out_schema.names)],
                                     schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return partitioned_reduce(tagged, on, reduce_fn, num_partitions,
                               coalesce=coalesce)
