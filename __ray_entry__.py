@@ -831,6 +831,37 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_kg_pagerank(sf_dir):
+    """PageRank over the symmetrized strong co-mention graph
+    (stages/graph.py:pagerank — persisted normalized edge partitions,
+    two exchanges per round, bit-deterministic sorted float sums).
+    NO SQL oracle by design: an iterative float fixed point has no
+    bit-exact SQL twin; the operator's oracle is the dense numpy
+    power-iteration equivalence test
+    (tests/test_stages.py::test_pagerank_matches_power_iteration) and
+    the determinism assertion there — the driver records the weaker
+    rows-only check for this entry."""
+    import ray.data
+    from yargy_ray.pipelines.kg import co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+    from yargy_ray.stages.graph import pagerank
+    tpath = _transcripts_for(sf_dir)
+    turns = ray.data.read_parquet(
+        tpath, columns=['conv_id', 'turn_idx', 'text'])
+    triples = project_triples(extract_mentions(turns, concurrency=_pool()))
+    strong = co_mention_edges(triples).filter(expr='weight >= 2')
+
+    def sym(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays([t.column('src').combine_chunks(),
+                                t.column('dst').combine_chunks()])
+        dst = pa.concat_arrays([t.column('dst').combine_chunks(),
+                                t.column('src').combine_chunks()])
+        return pa.table({'src': src, 'dst': dst})
+
+    return pagerank(strong.map_batches(sym, batch_format='pyarrow'),
+                    iters=6, num_partitions=16)
+
+
 _NODE_KINDS = ('turn', 'date', 'amount', 'person', 'address', 'title',
                'clause', 'position')
 
@@ -1217,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_top_terms': q_doc_top_terms,
         'kg_pair_overlap': q_kg_pair_overlap,
         'kg_degree_quantiles': q_kg_degree_quantiles,
+        'kg_pagerank': q_kg_pagerank,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,

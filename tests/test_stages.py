@@ -976,3 +976,44 @@ def test_round4_operators_empty_inputs(ray_session):
         'doc_id': pa.array([], pa.int64()),
         'text': pa.array([], pa.string())}))
     assert doc_top_terms(empty_docs, num_partitions=2).count() == 0
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    """Fixed-iteration PageRank equals the dense numpy power iteration
+    (same update rule incl. dangling redistribution) to float
+    tolerance, sums to ~1, and is deterministic across runs."""
+    import ray.data
+
+    from yargy_ray.stages.graph import pagerank
+
+    names = ['a', 'b', 'c', 'd', 'e']
+    idx = {n: i for i, n in enumerate(names)}
+    pairs = [('a', 'b'), ('a', 'c'), ('b', 'c'), ('c', 'd'),
+             ('e', 'a'), ('c', 'a')]                 # d is dangling
+    edges = pa.table({'src': [p[0] for p in pairs],
+                      'dst': [p[1] for p in pairs]})
+
+    d, iters, n = 0.85, 10, len(names)
+    A = np.zeros((n, n))
+    for s, t in pairs:
+        A[idx[s], idx[t]] = 1.0
+    outdeg = A.sum(axis=1)
+    dangling = outdeg == 0
+    W = np.divide(A, outdeg[:, None], out=np.zeros_like(A),
+                  where=outdeg[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = ((1 - d) / n + d * r[dangling].sum() / n
+             + d * (W.T @ r))
+
+    got = pagerank(ray.data.from_arrow(edges), damping=d, iters=iters,
+                   num_partitions=4).to_pandas()
+    ranks = dict(zip(got.node, got['rank']))
+    assert set(ranks) == set(names)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for name in names:
+        assert abs(ranks[name] - r[idx[name]]) < 1e-12, name
+
+    again = pagerank(ray.data.from_arrow(edges), damping=d,
+                     iters=iters, num_partitions=4).to_pandas()
+    assert dict(zip(again.node, again['rank'])) == ranks  # bit-equal

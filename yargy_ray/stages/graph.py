@@ -475,3 +475,193 @@ def two_hop_counts(edges_ds, num_partitions=64,
             batch.schema.get_field_index('node_id'), 'node_id', node)
 
     return counted.map_batches(finish, batch_format='pyarrow')
+
+
+def pagerank(edges_ds, damping=0.85, iters=10, num_partitions=64,
+             edges_dir=None):
+    """Directed PageRank over (src, dst) string-id edges, fixed
+    iteration count: rank = (1-d)/N + d * (in-contributions +
+    dangling_mass/N).
+
+    Scale shape mirrors :func:`connected_components`: the out-degree-
+    normalized edge table is persisted ONCE, hash-partitioned on
+    ``src`` (same partition function as the rank exchange — worker
+    reads are partition-pruned through the storage seam, shared-
+    visibility contract applies); each round ships only (node, rank)
+    rows through two exchanges. The per-round dangling mass is one
+    driver-side scalar (same cost as CC's convergence sum).
+
+    DETERMINISM: contributions are sorted by (dst, src) before every
+    float sum, so ranks are bit-identical across block orders, cluster
+    sizes and reruns — which is what makes the fixed-point testable.
+    An iterative float computation has no bit-exact SQL twin, so this
+    operator ships with a unit-test oracle (numpy power iteration)
+    instead of a DuckDB one.
+    """
+    import pandas as pd
+
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    own_dir = edges_dir is None
+    if own_dir:
+        edges_dir = tempfile.mkdtemp(prefix='yargy_ray_pr_edges_')
+    try:
+        import ray.data
+
+        # ---- persist out-degree-normalized edges, partitioned on src
+        def keyed_src(batch: pa.Table) -> pa.Table:
+            t = batch.select(['src', 'dst'])
+            return t.append_column('skey', _hash64(t.column('src')))
+
+        def norm_fn(table: pa.Table) -> pa.Table:
+            df = table.select(['src', 'dst']).to_pandas()
+            df = df.drop_duplicates().sort_values(
+                ['src', 'dst'], kind='mergesort')
+            outdeg = df.groupby('src', sort=False)['dst'].transform(
+                'count')
+            df['w'] = 1.0 / outdeg.to_numpy(dtype=np.float64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        normed = partitioned_reduce(
+            edges_ds.map_batches(keyed_src, batch_format='pyarrow'),
+            'skey', norm_fn, num_partitions, coalesce='auto')
+
+        from yargy_ray.stages.exchange import with_partition
+
+        def rekey(batch: pa.Table) -> pa.Table:
+            return batch.append_column('pkey',
+                                       _hash64(batch.column('src')))
+
+        with_partition(
+            normed.map_batches(rekey, batch_format='pyarrow'),
+            'pkey', num_partitions).drop_columns(
+            ['pkey']).write_parquet(edges_dir, partition_cols=['part'])
+
+        # ---- node universe + initial ranks + out-degree flags -------
+        def emit_nodes(batch: pa.Table) -> pa.Table:
+            src = batch.column('src').combine_chunks()
+            dst = batch.column('dst').combine_chunks()
+            return pa.table({
+                'node': pa.concat_arrays([src, dst]),
+                'has_out': pa.concat_arrays([
+                    pa.array(np.ones(len(src), dtype=np.int8)),
+                    pa.array(np.zeros(len(dst), dtype=np.int8))]),
+            })
+
+        def node_fn(table: pa.Table) -> pa.Table:
+            df = table.select(['node', 'has_out']).to_pandas()
+            agg = df.groupby('node', sort=False,
+                             as_index=False)['has_out'].max()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        def keyed_node(batch: pa.Table) -> pa.Table:
+            return batch.append_column('nkey',
+                                       _hash64(batch.column('node')))
+
+        nodes = partitioned_reduce(
+            edges_ds.map_batches(emit_nodes, batch_format='pyarrow')
+            .map_batches(keyed_node, batch_format='pyarrow'),
+            'nkey', node_fn, num_partitions,
+            coalesce='auto').materialize()
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            return ray.data.from_arrow(pa.table({
+                'node': pa.array([], type=pa.string()),
+                'rank': pa.array([], type=pa.float64())}))
+
+        init = 1.0 / n_nodes
+
+        def init_ranks(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                'node': batch.column('node'),
+                'rank': pa.array(np.full(n, init)),
+                'has_out': batch.column('has_out'),
+            })
+
+        ranks = nodes.map_batches(
+            init_ranks, batch_format='pyarrow').materialize()
+
+        def propagate(table: pa.Table) -> pa.Table:
+            """One rank partition + its persisted edge partition ->
+            damped contributions per dst (sorted sum) + self rows
+            keeping every node present."""
+            if table.num_rows == 0:
+                return pa.table({
+                    'node': pa.array([], type=pa.string()),
+                    'rank': pa.array([], type=pa.float64()),
+                    'has_out': pa.array([], type=pa.int8())})
+            part = table.column('part')[0].as_py()
+            lab = table.select(['node', 'rank', 'has_out']).to_pandas()
+            self_rows = pa.table({
+                'node': pa.array(lab['node'].to_numpy(dtype=object),
+                                 type=pa.string()),
+                'rank': pa.array(np.zeros(len(lab))),
+                'has_out': pa.array(
+                    lab['has_out'].to_numpy(dtype=np.int8)),
+            })
+            edge_tbl = storage.read_parquet_dir(
+                storage.join(edges_dir, f'part={part}'),
+                columns=['src', 'dst', 'w'])
+            if edge_tbl is None:
+                return self_rows
+            edg = edge_tbl.to_pandas()
+            msgs = edg.merge(
+                lab[['node', 'rank']].rename(columns={'node': 'src'}),
+                on='src', how='inner')
+            msgs['c'] = msgs['rank'].to_numpy() * msgs['w'].to_numpy()
+            msgs = msgs.sort_values(['dst', 'src'], kind='mergesort')
+            agg = msgs.groupby('dst', sort=True)['c'].sum()
+            msg_rows = pa.table({
+                'node': pa.array(agg.index.to_numpy(dtype=object),
+                                 type=pa.string()),
+                'rank': pa.array(agg.to_numpy(dtype=np.float64)),
+                'has_out': pa.array(
+                    np.full(len(agg), -1, dtype=np.int8)),
+            })
+            return pa.concat_tables([self_rows, msg_rows])
+
+        for _ in range(iters):
+            dangling = ranks.filter(expr='has_out == 0').sum('rank') \
+                or 0.0
+            base = (1.0 - damping) / n_nodes \
+                + damping * dangling / n_nodes
+
+            def combine(table: pa.Table, base=base) -> pa.Table:
+                df = table.select(['node', 'rank',
+                                   'has_out']).to_pandas()
+                # sort includes the VALUE so cross-partition message
+                # arrival order cannot change the float sum order
+                df = df.sort_values(['node', 'has_out', 'rank'],
+                                    kind='mergesort')
+                g = df.groupby('node', sort=True)
+                s = g['rank'].sum()
+                flags = g['has_out'].max()
+                return pa.table({
+                    'node': pa.array(s.index.to_numpy(dtype=object),
+                                     type=pa.string()),
+                    'rank': pa.array(base + damping
+                                     * s.to_numpy(dtype=np.float64)),
+                    'has_out': pa.array(
+                        flags.to_numpy(dtype=np.int8)),
+                })
+
+            msgs = partitioned_reduce(
+                ranks.map_batches(keyed_node, batch_format='pyarrow'),
+                'nkey', propagate, num_partitions, drop_part=False,
+                coalesce='auto')
+            ranks = partitioned_reduce(
+                msgs.map_batches(keyed_node, batch_format='pyarrow'),
+                'nkey', combine, num_partitions,
+                coalesce='auto').materialize()
+
+        return ranks.map_batches(
+            lambda t: t.select(['node', 'rank']),
+            batch_format='pyarrow')
+    finally:
+        if own_dir:
+            try:
+                storage.rmtree(edges_dir)
+            except OSError:
+                pass
