@@ -831,6 +831,16 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_doc_pack(sf_dir):
+    """Training-sample packing bookkeeping: exact global token offset
+    per document (ordered prefix sum in doc_id order) and the pack it
+    starts in (stages/packing.py:pack_assignments — range partition +
+    one driver-side P-number scan + per-partition vectorized cumsum)."""
+    from yargy_ray.stages.packing import pack_assignments
+    docs = _read(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    return pack_assignments(docs, seq_len=2048)
+
+
 def q_kg_pagerank(sf_dir):
     """PageRank over the symmetrized strong co-mention graph
     (stages/graph.py:pagerank — persisted normalized edge partitions,
@@ -1249,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_pair_overlap': q_kg_pair_overlap,
         'kg_degree_quantiles': q_kg_degree_quantiles,
         'kg_pagerank': q_kg_pagerank,
+        'doc_pack': q_doc_pack,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -2075,6 +2086,27 @@ def _oracle_sql_dict() -> dict[str, str]:
                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        'doc_pack': r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text),
+                                                           '\s+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) // 2048 AS BIGINT)
+                       AS pack_id
+            FROM toks
         """,
         'doc_lang_id': r"""
             SELECT doc_id,

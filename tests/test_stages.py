@@ -1017,3 +1017,31 @@ def test_pagerank_matches_power_iteration(ray_session):
     again = pagerank(ray.data.from_arrow(edges), damping=d,
                      iters=iters, num_partitions=4).to_pandas()
     assert dict(zip(again.node, again['rank'])) == ranks  # bit-equal
+
+
+def test_pack_assignments(ray_session):
+    """Global ordered prefix sum: offsets/packs independent of block
+    layout; sparse non-contiguous doc_ids handled by range partition."""
+    import ray.data
+
+    from yargy_ray.stages.packing import pack_assignments
+
+    rows = [{'doc_id': i * 7 + 3, 'text': 'tok ' * (i + 1)}
+            for i in range(50)]          # 1..50 tokens, sparse ids
+    import random
+    rng = random.Random(4)
+    rng.shuffle(rows)                    # arrival order != key order
+    ds = ray.data.from_items(rows).repartition(7)
+    got = pack_assignments(ds, seq_len=64,
+                           num_partitions=8).to_pandas()
+    got = got.sort_values('doc_id').reset_index(drop=True)
+    assert got['n_tokens'].tolist() == list(range(1, 51))
+    expect_off = np.concatenate(
+        ([0], np.cumsum(np.arange(1, 50)))).tolist()
+    assert got['offset'].tolist() == expect_off
+    assert got['pack_id'].tolist() == [o // 64 for o in expect_off]
+
+    empty = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([], pa.int64()),
+        'text': pa.array([], pa.string())}))
+    assert pack_assignments(empty, num_partitions=4).count() == 0
