@@ -831,6 +831,20 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_doc_decontam(sf_dir):
+    """Benchmark decontamination counts: word-3-gram totals and
+    benchmark-overlap hits for every training document, where the
+    benchmark set is documents with doc_id < 50 (stages/decontam.py —
+    broadcast distinct benchmark grams, one vectorized is_in per
+    batch, zero shuffle)."""
+    from yargy_ray.stages.decontam import contamination_counts
+    docs = _read(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    bench = docs.filter(expr='doc_id < 50')
+    train = docs.filter(expr='doc_id >= 50')
+    return contamination_counts(train, bench, n=3,
+                                concurrency=_pool())
+
+
 def q_doc_pack(sf_dir):
     """Training-sample packing bookkeeping: exact global token offset
     per document (ordered prefix sum in doc_id order) and the pack it
@@ -1260,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_degree_quantiles': q_kg_degree_quantiles,
         'kg_pagerank': q_kg_pagerank,
         'doc_pack': q_doc_pack,
+        'doc_decontam': q_doc_decontam,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -2086,6 +2101,34 @@ def _oracle_sql_dict() -> dict[str, str]:
                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        'doc_decontam': r"""
+            WITH words AS (
+                SELECT doc_id,
+                       REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+                                             '\s+') AS w,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text),
+                                                           '\s+'))
+                       END AS nt
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM words,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(nt - 2, 0)))
+                         AS t(i)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id < 50
+            )
+            SELECT w.doc_id,
+                   CAST(GREATEST(w.nt - 2, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(SUM(CASE WHEN g.g IN
+                       (SELECT g FROM bench) THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_contaminated
+            FROM words w LEFT JOIN grams g ON g.doc_id = w.doc_id
+            WHERE w.doc_id >= 50
+            GROUP BY w.doc_id, w.nt
         """,
         'doc_pack': r"""
             WITH toks AS (

@@ -1045,3 +1045,32 @@ def test_pack_assignments(ray_session):
         'doc_id': pa.array([], pa.int64()),
         'text': pa.array([], pa.string())}))
     assert pack_assignments(empty, num_partitions=4).count() == 0
+
+
+def test_contamination_counts(ray_session):
+    import ray.data
+
+    from yargy_ray.stages.decontam import contamination_counts
+
+    bench = ray.data.from_items([
+        {'doc_id': 0, 'text': 'the quick brown fox jumps'}])
+    train = ray.data.from_items([
+        # hits: 'the quick brown', 'quick brown fox' (2 of 4 grams)
+        {'doc_id': 10, 'text': 'see the quick brown fox run'},
+        {'doc_id': 11, 'text': 'completely clean document here'},
+        {'doc_id': 12, 'text': 'too short'},        # 0 grams
+        {'doc_id': 13, 'text': 'THE QUICK BROWN'},  # caseless hit
+        {'doc_id': 14, 'text': '   '},              # blank
+    ])
+    got = contamination_counts(train, bench, n=3).to_pandas()
+    got = got.set_index('doc_id')
+    assert (got.loc[10, 'n_grams'], got.loc[10, 'n_contaminated']) \
+        == (4, 2)
+    assert (got.loc[11, 'n_grams'], got.loc[11, 'n_contaminated']) \
+        == (2, 0)
+    assert (got.loc[12, 'n_grams'], got.loc[12, 'n_contaminated']) \
+        == (0, 0)
+    assert (got.loc[13, 'n_grams'], got.loc[13, 'n_contaminated']) \
+        == (1, 1)
+    assert (got.loc[14, 'n_grams'], got.loc[14, 'n_contaminated']) \
+        == (0, 0)

@@ -1,0 +1,119 @@
+"""Benchmark decontamination: word-n-gram overlap against a held-out
+set — the GPT-3/Dolma-style safeguard a pretraining pipeline runs so
+evaluation data never leaks into training shards.
+
+Shape: the benchmark's distinct n-grams are collected ONCE and
+broadcast (``ray.put``; eval-set n-gram vocabularies are tiny next to
+the corpus), then every training batch counts its n-grams and their
+benchmark hits with one vectorized ``pyarrow.compute.is_in`` — exact
+string membership, no shuffle at all. Scale note: if a benchmark ever
+outgrows worker memory, swap the broadcast for a semi-join through the
+hash-partition exchange (the `hash_join(how='semi')` shape); the
+counting semantics stay identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r'\s+'
+
+
+def _word_ngrams(batch_text, n):
+    """All word n-grams of every row, plus per-row gram counts.
+
+    Vectorized over the whole batch: ONE split pass, then numpy object
+    concatenation over the flat token buffer (per-gram work, not
+    per-row Python).
+    """
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(batch_text))
+    split = pc.split_pattern_regex(trimmed, _WS)
+    toks = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+    lens = np.where(
+        pc.equal(trimmed, '').to_numpy(zero_copy_only=False), 0, lens)
+    counts = np.maximum(lens.astype(np.int64) - (n - 1), 0)
+    if toks.size == 0 or counts.sum() == 0:
+        return np.array([], dtype=object), counts
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    # flat indices of every gram's first token, fully vectorized:
+    # repeat each row's start, add the within-row gram ordinal
+    total = int(counts.sum())
+    gram_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ordinal = np.arange(total) - np.repeat(gram_starts, counts)
+    first = np.repeat(starts, counts) + ordinal
+    grams = toks[first].astype(object)
+    for k in range(1, n):
+        grams = grams + ' '
+        grams = grams + toks[first + k].astype(object)
+    return grams, counts
+
+
+def benchmark_ngram_set(bench_ds, n=3):
+    """Distinct word n-grams of the benchmark set as ONE Arrow array
+    (driver-side collect of a deduplicated small side)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, _ = _word_ngrams(batch.column('text'), n)
+        return pa.table({'g': pa.array(np.unique(grams),
+                                       type=pa.string())})
+
+    parts = bench_ds.map_batches(partial, batch_format='pyarrow')
+    tbl = pa.concat_tables([pa.table({'g': b['g']})
+                            for b in parts.iter_batches(
+                                batch_format='pyarrow')])
+    if tbl.num_rows == 0:
+        return pa.array([], type=pa.string())
+    arr = tbl.column('g').combine_chunks()
+    return arr.unique()
+
+
+class ContaminationCounter:
+    """map_batches callable: per-doc n-gram totals and benchmark hits.
+
+    The benchmark gram set is an ``ObjectRef`` resolved once per actor
+    from the local object store; membership is vectorized ``is_in``
+    over the batch's full gram array.
+    """
+
+    def __init__(self, grams_ref, n=3):
+        import ray
+        self.grams = (ray.get(grams_ref)
+                      if not isinstance(grams_ref, pa.Array)
+                      else grams_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, counts = _word_ngrams(batch.column('text'), self.n)
+        if len(grams):
+            hits = pc.is_in(pa.array(grams, type=pa.string()),
+                            value_set=self.grams)
+            hit = hits.to_numpy(zero_copy_only=False).astype(np.int64)
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            per_doc_hits = np.add.reduceat(
+                np.concatenate((hit, [0])), bounds[:-1])
+            per_doc_hits[counts == 0] = 0
+        else:
+            per_doc_hits = np.zeros(len(counts), dtype=np.int64)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_grams': pa.array(counts, type=pa.int64()),
+            'n_contaminated': pa.array(per_doc_hits, type=pa.int64()),
+        })
+
+
+def contamination_counts(docs_ds, bench_ds, n=3, concurrency=(1, 4)):
+    """Per-document n-gram totals and benchmark-overlap counts.
+
+    Downstream policy (drop / flag above a ratio) is the caller's —
+    the counts are the exact, SQL-checkable part.
+    """
+    import ray
+    grams_ref = ray.put(benchmark_ngram_set(bench_ds, n))
+    return docs_ds.map_batches(
+        ContaminationCounter,
+        fn_constructor_kwargs={'grams_ref': grams_ref, 'n': n},
+        batch_format='pyarrow',
+        concurrency=concurrency,
+    )
