@@ -831,6 +831,17 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_user_kmv(sf_dir):
+    """Distinct-count SKETCH with a bit-exact oracle: KMV (k-minimum
+    md5 values, k=64) over event user_ids — per-batch k-mins, one
+    constant-key merge, ONE output row; the SQL oracle recomputes the
+    identical k-min set (ORDER BY md5 LIMIT k) and the identical
+    one-division estimate (stages/sketch.py)."""
+    from yargy_ray.stages.sketch import kmv_distinct
+    events = _read(sf_dir, 'events').select_columns(['user_id'])
+    return kmv_distinct(events, 'user_id', k=64)
+
+
 def q_doc_decontam(sf_dir):
     """Benchmark decontamination counts: word-3-gram totals and
     benchmark-overlap hits for every training document, where the
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_pagerank': q_kg_pagerank,
         'doc_pack': q_doc_pack,
         'doc_decontam': q_doc_decontam,
+        'user_kmv': q_user_kmv,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -2101,6 +2113,22 @@ def _oracle_sql_dict() -> dict[str, str]:
                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        'user_kmv': r"""
+            WITH d AS (SELECT DISTINCT user_id FROM events),
+            m AS (
+                SELECT ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM d ORDER BY hv LIMIT 64
+            )
+            SELECT CAST(64 AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_mins,
+                   MAX(hv) AS kth,
+                   CASE WHEN COUNT(*) < 64
+                        THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE (64 - 1) * 1152921504606846976.0 / MAX(hv)
+                   END AS estimate
+            FROM m
         """,
         'doc_decontam': r"""
             WITH words AS (

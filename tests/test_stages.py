@@ -1074,3 +1074,24 @@ def test_contamination_counts(ray_session):
         == (1, 1)
     assert (got.loc[14, 'n_grams'], got.loc[14, 'n_contaminated']) \
         == (0, 0)
+
+
+def test_kmv_distinct(ray_session):
+    """KMV sketch: exact below k, estimate within the theoretical
+    error band above k, block-layout-invariant."""
+    import ray.data
+
+    from yargy_ray.stages.sketch import kmv_distinct
+
+    small = ray.data.from_items([{'v': i % 10} for i in range(200)])
+    row = kmv_distinct(small, 'v', k=64).to_pylist()[0]
+    assert row['n_mins'] == 10 and row['estimate'] == 10.0
+
+    big = ray.data.from_items([{'v': i % 3000} for i in range(6000)])
+    row = kmv_distinct(big.repartition(13), 'v', k=256).to_pylist()[0]
+    assert row['n_mins'] == 256
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
+    assert abs(row['estimate'] - 3000) / 3000 < 0.25
+
+    again = kmv_distinct(big.repartition(3), 'v', k=256).to_pylist()[0]
+    assert again == row                   # layout-invariant, bit-equal
