@@ -831,6 +831,17 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_doc_heavy_tokens(sf_dir):
+    """EXACT heavy hitters (tokens with >= 1% of all occurrences) via
+    the sketch-then-verify pattern: Misra-Gries summaries bound the
+    exchange (never the vocabulary), the merged candidate set is
+    broadcast and re-counted exactly — output equals the naive GROUP
+    BY ... HAVING answer bit for bit (stages/sketch.py:heavy_hitters)."""
+    from yargy_ray.stages.sketch import heavy_hitters
+    docs = _read(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    return heavy_hitters(docs, min_frac=0.01)
+
+
 def q_user_kmv(sf_dir):
     """Distinct-count SKETCH with a bit-exact oracle: KMV (k-minimum
     md5 values, k=64) over event user_ids — per-batch k-mins, one
@@ -1287,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_pack': q_doc_pack,
         'doc_decontam': q_doc_decontam,
         'user_kmv': q_user_kmv,
+        'doc_heavy_tokens': q_doc_heavy_tokens,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -2113,6 +2125,20 @@ def _oracle_sql_dict() -> dict[str, str]:
                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        'doc_heavy_tokens': r"""
+            WITH toks AS (
+                SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+')) AS token
+                FROM documents
+            ), tt AS (
+                SELECT COUNT(*) AS total FROM toks WHERE token <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks, tt
+            WHERE token <> ''
+            GROUP BY token, tt.total
+            HAVING COUNT(*) >= 0.01 * tt.total
         """,
         'user_kmv': r"""
             WITH d AS (SELECT DISTINCT user_id FROM events),

@@ -1095,3 +1095,37 @@ def test_kmv_distinct(ray_session):
 
     again = kmv_distinct(big.repartition(3), 'v', k=256).to_pylist()[0]
     assert again == row                   # layout-invariant, bit-equal
+
+
+def test_heavy_hitters_exact(ray_session):
+    """Sketch-pruned heavy hitters equal the naive full count exactly,
+    across block layouts; no qualifying token is ever missed."""
+    from collections import Counter
+
+    import ray.data
+
+    from yargy_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    vocab = [f'w{i:03d}' for i in range(300)]
+    # zipf-ish: a few hot tokens + a long tail
+    weights = np.array([1.0 / (i + 1) for i in range(300)])
+    weights /= weights.sum()
+    rows, truth = [], Counter()
+    for d in range(120):
+        toks = rng.choice(vocab, size=40, p=weights)
+        truth.update(toks)
+        rows.append({'doc_id': d, 'text': ' '.join(toks)})
+    total = sum(truth.values())
+    want = {t: c for t, c in truth.items() if c >= 0.01 * total}
+
+    ds = ray.data.from_items(rows).repartition(9)
+    got = heavy_hitters(ds, min_frac=0.01, num_partitions=8)
+    got = dict(zip(got.column('token').to_pylist(),
+                   got.column('n').to_pylist()))
+    assert got == want
+
+    again = heavy_hitters(ray.data.from_items(rows).repartition(3),
+                          min_frac=0.01, num_partitions=4)
+    assert dict(zip(again.column('token').to_pylist(),
+                    again.column('n').to_pylist())) == want
