@@ -166,6 +166,7 @@ SECONDARY_PICKS = [
     'priority_revenue', 'user_value_quantiles', 'doc_reconstruct',
     'kg_comention', 'kg_two_hop',
     'kg_triangles', 'kg_entity_stats', 'user_funnel',
+    'doc_pack', 'doc_decontam', 'user_kmv', 'doc_heavy_tokens',
 ]
 
 
