@@ -831,6 +831,32 @@ def q_kg_entity_stats(sf_dir):
     return entity_mention_stats(triples)
 
 
+def q_purchase_window_events(sf_dir):
+    """Emit-all range join (OVERLAPPING intervals — the plan
+    interval_join's non-overlapping contract cannot express): every
+    event joined to EVERY +/-1h window around the same user's
+    purchases (stages/joins.py:interval_join_all — one tagged-union
+    exchange + per-partition vectorized searchsorted sweep)."""
+    from yargy_ray.stages.joins import interval_join_all
+    events = _read(sf_dir, 'events').select_columns(
+        ['event_id', 'user_id', 'ts', 'event_type'])
+    left = events.select_columns(['event_id', 'user_id', 'ts'])
+
+    def mk_windows(batch: pa.Table) -> pa.Table:
+        p = batch.filter(pc.equal(batch.column('event_type'),
+                                  'purchase'))
+        hour = pa.scalar(3_600_000_000, pa.duration('us'))
+        ts = p.column('ts').cast(pa.timestamp('us'))
+        return pa.table({'user_id': p.column('user_id'),
+                         'wstart': pc.subtract(ts, hour),
+                         'wstop': pc.add(ts, hour),
+                         'pev': p.column('event_id')})
+
+    right = events.map_batches(mk_windows, batch_format='pyarrow')
+    return interval_join_all(left, right, by='user_id', on='ts',
+                             start='wstart', stop='wstop')
+
+
 def q_doc_heavy_tokens(sf_dir):
     """EXACT heavy hitters (tokens with >= 1% of all occurrences) via
     the sketch-then-verify pattern: Misra-Gries summaries bound the
@@ -1299,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_decontam': q_doc_decontam,
         'user_kmv': q_user_kmv,
         'doc_heavy_tokens': q_doc_heavy_tokens,
+        'purchase_window_events': q_purchase_window_events,
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
         'kg_communities': q_kg_communities,
@@ -2125,6 +2152,19 @@ def _oracle_sql_dict() -> dict[str, str]:
                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        'purchase_window_events': """
+            WITH p AS (
+                SELECT event_id AS pev, user_id,
+                       ts - INTERVAL 1 HOUR AS wstart,
+                       ts + INTERVAL 1 HOUR AS wstop
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.wstart, p.wstop, p.pev
+            FROM events e
+            JOIN p ON e.user_id = p.user_id
+                  AND e.ts BETWEEN p.wstart AND p.wstop
         """,
         'doc_heavy_tokens': r"""
             WITH toks AS (

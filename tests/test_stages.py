@@ -1129,3 +1129,36 @@ def test_heavy_hitters_exact(ray_session):
                           min_frac=0.01, num_partitions=4)
     assert dict(zip(again.column('token').to_pylist(),
                     again.column('n').to_pylist())) == want
+
+
+def test_interval_join_all_overlapping(ray_session):
+    """Overlapping right intervals: a point inside k intervals emits k
+    rows; inclusive bounds; cross-key isolation."""
+    import ray.data
+
+    from yargy_ray.stages.joins import interval_join_all
+
+    left = ray.data.from_arrow(pa.table({
+        'id': pa.array([1, 2, 3, 4], pa.int64()),
+        'u': pa.array([7, 7, 7, 8], pa.int64()),
+        't': pa.array([5, 15, 25, 15], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'u': pa.array([7, 7, 8], pa.int64()),
+        'lo': pa.array([0, 10, 0], pa.int64()),      # [0,20] overlaps
+        'hi': pa.array([20, 30, 10], pa.int64()),    # [10,30]
+        'w': pa.array([100, 200, 300], pa.int64())}))
+    out = interval_join_all(left, right, by='u', on='t',
+                            start='lo', stop='hi',
+                            num_partitions=4).to_pandas()
+    got = sorted(zip(out.id, out.w))
+    # t=5 -> [0,20]; t=15 -> both; t=25 -> [10,30]; u=8 t=15 -> none
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200)]
+    # inclusive bounds
+    edge = ray.data.from_arrow(pa.table({
+        'id': pa.array([9], pa.int64()),
+        'u': pa.array([7], pa.int64()),
+        't': pa.array([20], pa.int64())}))
+    out2 = interval_join_all(edge, right, by='u', on='t',
+                             start='lo', stop='hi',
+                             num_partitions=2).to_pandas()
+    assert sorted(out2.w) == [100, 200]

@@ -317,3 +317,111 @@ def hash_join(left_ds, right_ds, on, suffix='_r', num_partitions=64,
 
     return partitioned_reduce(tagged, on, reduce_fn, num_partitions,
                               coalesce=coalesce)
+
+
+def interval_join_all(left_ds, right_ds, by, on, start, stop,
+                      suffix='_r', num_partitions=64):
+    """Range join with OVERLAPPING right intervals: each left row is
+    inner-joined to EVERY right interval [start, stop] (inclusive)
+    containing it, per ``by`` key — the emit-all plan
+    :func:`interval_join`'s non-overlapping contract cannot express.
+
+    Shape: the same single tagged-union co-partitioning exchange, then
+    a vectorized per-partition sweep: left points sorted; for each
+    right interval, ``searchsorted`` finds its contained point range
+    and ``repeat``/``concatenate`` materialize the matches — per-pair
+    work is O(log L + hits), never a cross product. Output size is the
+    true match count (a point inside k intervals emits k rows); skew =
+    output skew, same contract as the dedup family.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def field_types(schema):
+        base = getattr(schema, 'base_schema', schema)
+        return {n: base.field(n).type for n in schema.names}
+
+    ltypes = field_types(left_ds.schema())
+    rtypes = field_types(right_ds.schema())
+    left_names = list(ltypes)
+    right_vals = [n for n in rtypes if n != by]
+    out_right = [n + suffix if n in ltypes else n for n in right_vals]
+    union_schema = pa.schema(
+        [pa.field(n, ltypes[n]) for n in left_names]
+        + [pa.field('__side', pa.int8())]
+        + [pa.field(n, rtypes[v]) for n, v in zip(out_right, right_vals)])
+    out_schema = pa.schema(
+        [pa.field(n, ltypes[n]) for n in left_names]
+        + [pa.field(n, rtypes[v]) for n, v in zip(out_right, right_vals)])
+    start_col = start + suffix if start in ltypes else start
+    stop_col = stop + suffix if stop in ltypes else stop
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [batch.column(name) for name in left_names]
+        cols.append(pa.array(np.zeros(n, dtype=np.int8)))
+        cols.extend(pa.nulls(n, type=union_schema.field(nm).type)
+                    for nm in out_right)
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for name in left_names:
+            if name == by:
+                cols.append(batch.column(by))
+            else:
+                cols.append(pa.nulls(n, type=union_schema.field(
+                    name).type))
+        cols.append(pa.array(np.ones(n, dtype=np.int8)))
+        cols.extend(batch.column(v) for v in right_vals)
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format='pyarrow')
+              .union(right_ds.map_batches(tag_right,
+                                          batch_format='pyarrow')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.to_pandas(types_mapper=_nullable_int_mapper)
+        left = df[df['__side'] == 0][left_names]
+        right = df[df['__side'] == 1][[by] + out_right]
+        if len(left) == 0 or len(right) == 0:
+            return out_schema.empty_table()
+        pieces = []
+        # per-key slices with vectorized inner work (the co-mention
+        # per-conversation pattern); right side pre-grouped once
+        rgroups = {k: g for k, g in right.groupby(by, sort=False)}
+        for key, lgrp in left.groupby(by, sort=False):
+            rgrp = rgroups.get(key)
+            if rgrp is None or not len(rgrp):
+                continue
+            lgrp = lgrp.sort_values(on, kind='mergesort')
+            pts = lgrp[on].to_numpy()
+            lo = np.searchsorted(pts, rgrp[start_col].to_numpy(),
+                                 side='left')
+            hi = np.searchsorted(pts, rgrp[stop_col].to_numpy(),
+                                 side='right')
+            counts = np.maximum(hi - lo, 0)
+            if counts.sum() == 0:
+                continue
+            gram_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            ordinal = (np.arange(counts.sum())
+                       - np.repeat(gram_starts, counts))
+            lidx = np.repeat(lo, counts) + ordinal
+            ridx = np.repeat(np.arange(len(rgrp)), counts)
+            piece = lgrp.iloc[lidx].reset_index(drop=True)
+            for name in out_right:
+                piece[name] = rgrp[name].to_numpy()[ridx]
+            pieces.append(piece)
+        if not pieces:
+            return out_schema.empty_table()
+        merged = pd.concat(pieces, ignore_index=True)
+        return pa.Table.from_pandas(merged[list(out_schema.names)],
+                                    schema=out_schema,
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    return partitioned_reduce(tagged, by, reduce_fn, num_partitions,
+                              coalesce='auto')
