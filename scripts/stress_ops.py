@@ -165,11 +165,41 @@ def main():
         return {'turns': n_turns, 'docs': n_docs,
                 'giant_turns': giant_turns, 'per_sec_of': n_turns}
 
+    from yargy_ray.stages.packing import pack_assignments
+    from yargy_ray.stages.sketch import heavy_hitters
+
+    # 500k-doc corpus (zipf-ish vocab) for the text-op stress rows
+    n_docs = 500_000
+    vocab = np.array([f'tok{i:04d}' for i in range(5_000)], dtype=object)
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    w /= w.sum()
+    tok_idx = rng.choice(len(vocab), size=(n_docs, 12), p=w)
+    texts = np.array([' '.join(row) for row in vocab[tok_idx]],
+                     dtype=object)
+    doc_tbl = pa.table({
+        'doc_id': pa.array(np.arange(n_docs), type=pa.int64()),
+        'text': pa.array(texts, type=pa.string()),
+    })
+    sdocs = ray.data.from_arrow(doc_tbl).repartition(64).materialize()
+
+    def op_pack():
+        packed = pack_assignments(sdocs, seq_len=2048)
+        n_rows = packed.count()
+        assert n_rows == n_docs, n_rows
+        return {'docs': n_docs, 'per_sec_of': n_docs}
+
+    def op_heavy():
+        hh = heavy_hitters(sdocs, min_frac=0.001)
+        return {'docs': n_docs, 'hitters': hh.num_rows,
+                'per_sec_of': n_docs}
+
     ops = [('asof_join', op_asof), ('hopping_window', op_hopping),
            ('connected_components', op_cc),
            ('co_mention_edges', op_comention),
            ('two_hop_counts', op_two_hop),
-           ('doc_reconstruct_skew', op_doc_skew)]
+           ('doc_reconstruct_skew', op_doc_skew),
+           ('pack_assignments', op_pack),
+           ('heavy_hitters', op_heavy)]
 
     # ---- interleaved reps, best-of + raw ------------------------------
     raw = {name: [] for name, _ in ops}
