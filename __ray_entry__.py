@@ -783,7 +783,12 @@ def q_kg_triangles(sf_dir):
     turns = ray.data.read_parquet(
         tpath, columns=['conv_id', 'turn_idx', 'text'])
     triples = project_triples(extract_mentions(turns, concurrency=_pool()))
-    strong = co_mention_edges(triples).filter(expr='weight >= 2')
+    # triangle_counts consumes its edge input TWICE (wedge + close
+    # branches); materializing the small distinct strong-edge table
+    # avoids re-running extraction + co-mention per branch (measured
+    # 13.7s -> 8.7s at sf0.1/32cpu)
+    strong = co_mention_edges(triples).filter(
+        expr='weight >= 2').materialize()
     return triangle_counts(strong)
 
 
@@ -921,7 +926,10 @@ def q_kg_pagerank(sf_dir):
     turns = ray.data.read_parquet(
         tpath, columns=['conv_id', 'turn_idx', 'text'])
     triples = project_triples(extract_mentions(turns, concurrency=_pool()))
-    strong = co_mention_edges(triples).filter(expr='weight >= 2')
+    # pagerank consumes its edge input twice (normalize + node
+    # universe); materialize the small strong-edge table once
+    strong = co_mention_edges(triples).filter(
+        expr='weight >= 2').materialize()
 
     def sym(t: pa.Table) -> pa.Table:
         src = pa.concat_arrays([t.column('src').combine_chunks(),

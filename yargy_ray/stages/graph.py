@@ -243,6 +243,10 @@ def triangle_counts(edges_ds, a='src', b='dst', num_partitions=64,
        count row per corner, pre-combined map-side;
     3. count rows co-partition on ``hash(node)`` for the global sum.
 
+    NOTE: ``edges_ds`` is consumed TWICE (wedge generation and the
+    close join's edge side) — materialize it upstream when it is the
+    output of an expensive pipeline.
+
     ``max_wedge_degree`` bounds the C(k, 2) wedge blowup per node
     (deterministic first-k higher neighbors in sort order). Counts
     involving a capped node are LOWER bounds; capped nodes are counted
@@ -490,6 +494,9 @@ def pagerank(edges_ds, damping=0.85, iters=10, num_partitions=64,
     visibility contract applies); each round ships only (node, rank)
     rows through two exchanges. The per-round dangling mass is one
     driver-side scalar (same cost as CC's convergence sum).
+
+    NOTE: ``edges_ds`` is consumed twice (normalization and the node
+    universe) — materialize it upstream when expensive.
 
     DETERMINISM: contributions are sorted by (dst, src) before every
     float sum, so ranks are bit-identical across block orders, cluster
