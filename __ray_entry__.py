@@ -690,7 +690,11 @@ def q_kg_two_hop(sf_dir):
     turns = ray.data.read_parquet(
         tpath, columns=['conv_id', 'turn_idx', 'text'])
     triples = project_triples(extract_mentions(turns, concurrency=_pool()))
-    return two_hop_counts(aggregate_edges(triples))
+    # two_hop consumes its edge input twice (the two hop roles);
+    # materializing the distinct-edge aggregate halves total compute
+    # (wall-neutral on an idle single box where the branches overlap,
+    # but 2x CPU on a busy cluster)
+    return two_hop_counts(aggregate_edges(triples).materialize())
 
 
 def q_latest_user_event(sf_dir):
