@@ -1155,6 +1155,47 @@ def q_kg_incremental2(sf_dir):
         batch_format='pyarrow')
 
 
+def q_kg_comention_inc(sf_dir):
+    """SECOND-ORDER incremental maintenance: the co-mention edge table
+    absorbed a 20% conversation delta via per-pair weight sums with
+    copy-on-write partitions (pipelines/incremental.py:
+    merge_comention_delta) — oracle is the full-corpus kg_comention
+    SQL: merge == rebuild, bit for bit."""
+    import shutil
+
+    import ray.data
+    from yargy_ray.pipelines.incremental import (
+        merge_comention_delta,
+        run_comention_pipeline,
+    )
+
+    tpath = _transcripts_for(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = _SF_CONVS.get(name, 24)
+    cut = f'conv-{int(n_convs * 0.8):08d}'
+    root = f'/tmp/yargy_ray_cache/cm_inc_v1_{name}_{n_convs}'
+
+    base_t, delta_t = f'{root}/base_t', f'{root}/delta_t'
+    if not os.path.exists(f'{root}/_SPLIT_DONE'):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(base_t), os.makedirs(delta_t)
+        ds = ray.data.read_parquet(tpath)
+        ds.filter(expr=f"conv_id < '{cut}'").write_parquet(base_t)
+        ds.filter(expr=f"conv_id >= '{cut}'").write_parquet(delta_t)
+        open(f'{root}/_SPLIT_DONE', 'w').close()
+
+    run_comention_pipeline(base_t, f'{root}/cm_base',
+                           concurrency=_pool(), num_partitions=16)
+    merged_root = f'{root}/cm_merged'
+    shutil.rmtree(merged_root, ignore_errors=True)
+    merge_comention_delta(f'{root}/cm_base', delta_t, merged_root,
+                          concurrency=_pool(), num_partitions=16)
+    edges = ray.data.read_parquet(f'{merged_root}/comention')
+    return edges.map_batches(
+        lambda b: b.select(['src', 'dst', 'weight']),
+        batch_format='pyarrow')
+
+
 def q_kg_linked(sf_dir):
     """Gazetteer-backed entity linking over has_position triple objects
     (broadcast index via ray.put, morph-lemma lookup in actors)."""
@@ -1325,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'kg_edges': q_kg_edges,
         'kg_incremental': q_kg_incremental,
         'kg_incremental2': q_kg_incremental2,
+        'kg_comention_inc': q_kg_comention_inc,
         'kg_triangles': q_kg_triangles,
         'kg_top_neighbors': q_kg_top_neighbors,
         'kg_entity_stats': q_kg_entity_stats,
@@ -1985,6 +2027,8 @@ def oracle_sql() -> dict[str, str]:
         WITH {_triples_cte()}, {ents_cte}
         {coment_select}
     """
+    # incremental co-mention merge == full rebuild, bit for bit
+    out['kg_comention_inc'] = out['kg_comention']
     # conversation-set overlap per pair: |A∩B| (= the co-mention
     # weight) with each endpoint's distinct-conversation count
     out['kg_pair_overlap'] = f"""

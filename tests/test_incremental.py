@@ -227,3 +227,45 @@ def test_chained_merge_equals_full_rebuild(split_corpus, tmp_path):
             for bf, of in zip(base_files, out_files):
                 with open(bf, 'rb') as fb, open(of, 'rb') as fo:
                     assert fb.read() == fo.read()
+
+
+def test_comention_merge_equals_full_rebuild(split_corpus, tmp_path):
+    """Second-order incremental maintenance: merging a delta into the
+    co-mention edge table (per-pair weight sums, copy-on-write
+    partitions) equals the full rebuild exactly; untouched partitions
+    carry byte-identical."""
+    import ray.data
+    from yargy_ray.pipelines.incremental import (
+        merge_comention_delta,
+        run_comention_pipeline,
+    )
+
+    root, full, base_t, delta_t = split_corpus
+    run_comention_pipeline(full, str(tmp_path / 'cm_full'),
+                           concurrency=(1, 2), num_partitions=16)
+    run_comention_pipeline(base_t, str(tmp_path / 'cm_base'),
+                           concurrency=(1, 2), num_partitions=16)
+    man = merge_comention_delta(str(tmp_path / 'cm_base'), delta_t,
+                                str(tmp_path / 'cm_merged'),
+                                concurrency=(1, 2), num_partitions=16)
+    cols = ['src', 'dst', 'weight']
+    want = _canon(f'{tmp_path}/cm_full/comention', cols)
+    got = _canon(f'{tmp_path}/cm_merged/comention', cols)
+    assert want.equals(got)
+    assert man['num_partitions'] == 16
+    # carried partitions byte-identical to base
+    for pid in man['carried_partitions']:
+        base_files = sorted(glob.glob(
+            f'{tmp_path}/cm_base/comention/part={pid}/*.parquet'))
+        out_files = sorted(glob.glob(
+            f'{tmp_path}/cm_merged/comention/part={pid}/*.parquet'))
+        assert [os.path.basename(f) for f in base_files] == \
+               [os.path.basename(f) for f in out_files]
+        for bf, of in zip(base_files, out_files):
+            with open(bf, 'rb') as fb, open(of, 'rb') as fo:
+                assert fb.read() == fo.read()
+
+    with pytest.raises(ValueError, match='disagrees'):
+        merge_comention_delta(str(tmp_path / 'cm_base'), delta_t,
+                              str(tmp_path / 'cm_bad'),
+                              num_partitions=8)

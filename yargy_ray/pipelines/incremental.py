@@ -340,3 +340,95 @@ def merge_kg_delta(base_root, delta_transcripts_path, out_root,
         resume=resume)
 
     return manifests
+
+
+def run_comention_pipeline(transcripts_path, out_root,
+                           factory_paths=DEFAULT_FACTORIES,
+                           concurrency=(1, 8), batch_size=128,
+                           num_partitions=16, resume=True):
+    """Co-mention edge table as a CHECKPOINTED, hash-partitioned build
+    (the base a :func:`merge_comention_delta` increments)."""
+    import ray.data
+
+    from yargy_ray.pipelines.kg import _write_partitioned, co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+
+    if num_partitions & (num_partitions - 1) or num_partitions <= 0:
+        raise ValueError(
+            f'num_partitions must be a positive power of two, '
+            f'got {num_partitions}')
+    fp = fingerprint('comention', transcripts_path, tuple(factory_paths),
+                     num_partitions)
+    out_dir = storage.join(out_root, 'comention')
+
+    def build(d):
+        turns = ray.data.read_parquet(
+            transcripts_path, columns=['conv_id', 'turn_idx', 'text'])
+        # NOT the fused prededuped extractor: a (person, has_position,
+        # position) triple repeats VERBATIM across conversations, and
+        # prededup would drop the later conversation's entity
+        triples = project_triples(
+            extract_mentions(turns, factory_paths,
+                             concurrency=concurrency,
+                             batch_size=batch_size), factory_paths)
+        edges = co_mention_edges(triples)
+        return _write_partitioned(edges, d, 'src', num_partitions), {
+            'num_partitions': num_partitions}
+
+    return run_stage('comention', out_dir, fp, build, resume=resume)
+
+
+def merge_comention_delta(base_root, delta_transcripts_path, out_root,
+                          factory_paths=DEFAULT_FACTORIES,
+                          concurrency=(1, 8), batch_size=128,
+                          num_partitions=16, resume=True):
+    """Merge NEW conversations into an existing co-mention edge table.
+
+    Co-mention weight counts conversations containing both entities;
+    base and delta conversation sets are disjoint, so the merge is a
+    pure per-pair weight SUM — the same copy-on-write
+    :func:`_merge_sum` shape as nodes/edges: only partitions the delta
+    pairs hash into are rewritten, the rest are carried byte-identical.
+    Exactly equals a full rebuild (the per-conversation
+    MAX_CONV_ENTITIES cap is conversation-local, so it commutes with
+    the split)."""
+    import ray.data
+
+    from yargy_ray.pipelines.kg import co_mention_edges
+    from yargy_ray.stages.extract import extract_mentions, project_triples
+
+    base_dir = storage.join(base_root, 'comention')
+    if num_partitions & (num_partitions - 1) or num_partitions <= 0:
+        raise ValueError(
+            f'num_partitions must be a positive power of two, '
+            f'got {num_partitions}')
+    manifest = load_manifest(base_dir)
+    base_p = (manifest or {}).get('num_partitions')
+    if base_p is not None and base_p != num_partitions:
+        raise ValueError(
+            f'merge num_partitions={num_partitions} disagrees with the '
+            f'base co-mention layout num_partitions={base_p}')
+
+    fp = fingerprint('comention-merge', base_root,
+                     delta_transcripts_path, tuple(factory_paths),
+                     num_partitions)
+    out_dir = storage.join(out_root, 'comention')
+
+    def build(d):
+        turns = ray.data.read_parquet(
+            delta_transcripts_path,
+            columns=['conv_id', 'turn_idx', 'text'])
+        triples = project_triples(
+            extract_mentions(turns, factory_paths,
+                             concurrency=concurrency,
+                             batch_size=batch_size), factory_paths)
+        delta_edges = co_mention_edges(triples)
+        parts, touched, carried = _merge_sum(
+            base_dir, delta_edges, ('src', 'dst'), 'weight',
+            d, num_partitions, 'src')
+        return parts, {'num_partitions': num_partitions,
+                       'merged_partitions': touched,
+                       'carried_partitions': carried}
+
+    return run_stage('comention-merge', out_dir, fp, build,
+                     resume=resume)
