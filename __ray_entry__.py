@@ -584,6 +584,49 @@ def q_dup_components(sf_dir):
     return connected_components(pairs, num_partitions=16)
 
 
+def q_dup_survivors(sf_dir):
+    """Quality-aware survivor selection per near-dup CLUSTER: the
+    longest document wins (ties: min doc_id) — the policy step after
+    clustering that real dedup pipelines run. Composition: components
+    x token counts through ONE int-keyed hash_join, then a component-
+    keyed reduce picking the argmax + member count."""
+    from yargy_ray.stages.exchange import partitioned_reduce
+    from yargy_ray.stages.joins import hash_join
+    from yargy_ray.stages.text import token_count_batch
+
+    comps = q_dup_components(sf_dir).map_batches(
+        lambda b: b.rename_columns(['doc_id', 'component']),
+        batch_format='pyarrow')
+    counts = _read(sf_dir, 'documents').map_batches(
+        token_count_batch, batch_format='pyarrow')
+    joined = hash_join(comps, counts, on='doc_id', num_partitions=16)
+
+    def pick(table: pa.Table) -> pa.Table:
+        import numpy as np
+        df = table.select(['component', 'doc_id',
+                           'n_tokens']).to_pandas()
+        df = df.sort_values(['component', 'n_tokens', 'doc_id'],
+                            ascending=[True, False, True],
+                            kind='mergesort')
+        g = df.groupby('component', sort=False)
+        head = g.head(1).reset_index(drop=True)
+        sizes = g.size().rename('n_members')
+        out = head.merge(sizes, left_on='component', right_index=True)
+        return pa.table({
+            'component': pa.array(
+                out['component'].to_numpy(dtype=np.int64)),
+            'keep_doc_id': pa.array(
+                out['doc_id'].to_numpy(dtype=np.int64)),
+            'keep_tokens': pa.array(
+                out['n_tokens'].to_numpy(dtype=np.int64)),
+            'n_members': pa.array(
+                out['n_members'].to_numpy(dtype=np.int64)),
+        })
+
+    return partitioned_reduce(joined, 'component', pick, 16,
+                              coalesce='auto')
+
+
 def q_rolling_fingerprint(sf_dir):
     from yargy_ray.stages.text import rolling_fingerprints
     return rolling_fingerprints(_read(sf_dir, 'documents'))
@@ -1345,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'minhash_pairs': q_minhash_pairs,
         'simhash_pairs': q_simhash_pairs,
         'dup_components': q_dup_components,
+        'dup_survivors': q_dup_survivors,
         'ngram_pairs': q_ngram_pairs,
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
@@ -2642,6 +2686,33 @@ def _oracle_sql_dict() -> dict[str, str]:
         """,
         'simhash_pairs': _simhash_oracle_sql(),
         'dup_components': _dup_components_oracle_sql(),
+        'dup_survivors': f"""
+            WITH comp AS ({_dup_components_oracle_sql()}),
+            tok AS (
+                SELECT doc_id,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text),
+                                                           '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), j AS (
+                SELECT c.component, c.node AS doc_id, t.n_tokens
+                FROM comp c JOIN tok t ON t.doc_id = c.node
+            )
+            SELECT component,
+                   doc_id AS keep_doc_id,
+                   CAST(n_tokens AS BIGINT) AS keep_tokens,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM (
+                SELECT component, doc_id, n_tokens,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY n_tokens DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY component)
+                           AS n_members
+                FROM j)
+            WHERE rn = 1
+        """,
         'minhash_pairs': _minhash_oracle_sql(),
         'kg_triples': f"""
             WITH {_triples_cte()}
