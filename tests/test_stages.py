@@ -1162,3 +1162,49 @@ def test_interval_join_all_overlapping(ray_session):
                              start='lo', stop='hi',
                              num_partitions=2).to_pandas()
     assert sorted(out2.w) == [100, 200]
+
+
+def test_ivf_incremental_merge(ray_session, tmp_path):
+    """Delta vectors append into their assigned lists (existing files
+    untouched); queries over the merged index find planted delta
+    neighbors; the manifest tracks drift."""
+    import glob
+    import os
+
+    import ray.data
+
+    from yargy_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        merge_ivf_delta,
+    )
+
+    rng = np.random.RandomState(11)
+    base_vecs = rng.randn(200, 16).astype(np.float32)
+    base = ray.data.from_items([
+        {'vec_id': i, 'embedding': base_vecs[i].tolist()}
+        for i in range(200)])
+    idx = str(tmp_path / 'ivf_inc')
+    man0 = build_ivf_index(base, idx, num_lists=8, input_key='inc-t')
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(idx + '/lists/ivf_list=*/*.parquet')}
+
+    # delta: exact copies of base vectors 0..4 under new ids
+    delta = ray.data.from_items([
+        {'vec_id': 1000 + i, 'embedding': base_vecs[i].tolist()}
+        for i in range(5)])
+    man1 = merge_ivf_delta(idx, delta)
+    assert man1['rows_out'] == 205
+    assert man1['delta_rows_since_build'] == 5
+    # append-only: every pre-merge file untouched
+    for f, mtime in before.items():
+        assert os.path.getmtime(f) == mtime, f
+
+    out = ivf_topk_indexed(idx, base_vecs[:5], k=2, nprobe=2)
+    got = {(r['query_id'], r['rank']): r['vec_id']
+           for r in out.to_pylist()}
+    for q in range(5):
+        # the original and its delta copy share cosine 1.0; tiebreak
+        # is vec_id ascending -> original first, copy second
+        assert got[(q, 0)] == q
+        assert got[(q, 1)] == 1000 + q

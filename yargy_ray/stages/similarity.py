@@ -303,3 +303,61 @@ def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4,
     finally:
         if fresh:
             shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def merge_ivf_delta(index_dir, delta_ds, concurrency=(1, 4)):
+    """Incremental IVF maintenance: absorb NEW vectors into a persisted
+    index WITHOUT retraining or touching existing list files.
+
+    Delta vectors are assigned with the index's OWN centroids (so
+    probe routing stays consistent) and appended as additional parquet
+    files inside their ``ivf_list=N`` dirs — the same append-only
+    layout the incremental triple merge uses; existing files are never
+    rewritten. The manifest's per-list rows are updated and the delta
+    is recorded. Queries through :func:`ivf_topk_indexed` see the
+    union immediately.
+
+    Centroids drift as the corpus grows — the manifest tracks
+    ``delta_rows_since_build`` so a caller can trigger a retrain once
+    deltas dominate (the recall/refresh tradeoff is the caller's
+    policy; assignment itself stays exact w.r.t. the frozen
+    centroids).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from yargy_ray.state import storage
+    from yargy_ray.state.manifests import (
+        load_manifest,
+        manifest_path,
+    )
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f'no IVF index manifest under {index_dir}')
+    cfs, cpath = storage.resolve(
+        storage.join(index_dir, 'centroids.parquet'))
+    centroids = _as_matrix(
+        pq.read_table(cpath, filesystem=cfs).column('centroid'))
+    centroids_ref = ray.put(centroids)
+    assigned = delta_ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs={'centroids_ref': centroids_ref},
+        batch_format='pyarrow', concurrency=concurrency)
+    lists_dir = storage.join(index_dir, 'lists')
+    # write_parquet APPENDS new uniquely-named files into existing
+    # ivf_list= dirs (multi-file parquet layout)
+    assigned.write_parquet(lists_dir, partition_cols=['ivf_list'])
+
+    parts = [
+        {'partition_id': int(name.split('=', 1)[1]),
+         'rows': storage.dir_rows(child)}
+        for name, child in sorted(storage.list_dirs(lists_dir).items())
+        if name.startswith('ivf_list=')]
+    delta_rows = sum(p['rows'] for p in parts) - manifest['rows_out']
+    manifest['partitions'] = parts
+    manifest['rows_out'] = sum(p['rows'] for p in parts)
+    manifest['delta_rows_since_build'] = (
+        manifest.get('delta_rows_since_build', 0) + delta_rows)
+    storage.write_json_atomic(manifest_path(index_dir), manifest)
+    return manifest
