@@ -1208,3 +1208,141 @@ def test_ivf_incremental_merge(ray_session, tmp_path):
         # is vec_id ascending -> original first, copy second
         assert got[(q, 0)] == q
         assert got[(q, 1)] == 1000 + q
+
+
+def test_word_ngrams_blank_row_alignment():
+    """ADVICE r4 (high): blank/whitespace-only rows must not shift the
+    flat token buffer — split('') contributes one '' token that the
+    gram-start indices have to account for."""
+    from yargy_ray.stages.decontam import _word_ngrams
+
+    g, c = _word_ngrams(pa.chunked_array([pa.array(['', 'a b c'])]), 2)
+    assert list(g) == ['a b', 'b c'] and list(c) == [0, 2]
+    g, c = _word_ngrams(pa.chunked_array([pa.array(
+        ['x y', '  ', 'a b c', None, 'p q r'])]), 2)
+    assert list(g) == ['x y', 'a b', 'b c', 'p q', 'q r']
+    assert list(c) == [1, 0, 2, 0, 2]
+
+
+def test_contamination_counts_blank_first(ray_session):
+    """Blank docs BEFORE real docs (the r4 unit test only had one
+    last) must not shift later rows' gram windows."""
+    import ray.data
+
+    from yargy_ray.stages.decontam import contamination_counts
+
+    bench = ray.data.from_items([{'doc_id': 0, 'text': 'a b c'}])
+    train = ray.data.from_items([
+        {'doc_id': 1, 'text': '   '},
+        {'doc_id': 2, 'text': ''},
+        {'doc_id': 3, 'text': 'a b c d'},   # grams: abc (hit), bcd
+        {'doc_id': 4, 'text': 'x a b c'},   # grams: xab, abc (hit)
+    ])
+    got = contamination_counts(train, bench, n=3).to_pandas() \
+        .set_index('doc_id')
+    assert (got.loc[3, 'n_grams'], got.loc[3, 'n_contaminated']) \
+        == (2, 1)
+    assert (got.loc[4, 'n_grams'], got.loc[4, 'n_contaminated']) \
+        == (2, 1)
+    assert (got.loc[1, 'n_grams'], got.loc[2, 'n_grams']) == (0, 0)
+
+
+def test_kmv_nulls_excluded(ray_session):
+    """ADVICE r4 (low): nulls are dropped from the hash universe, so a
+    column with nulls sketches identically to the same column without
+    them (SQL md5(NULL) IS NULL semantics)."""
+    import ray.data
+
+    from yargy_ray.stages.sketch import kmv_distinct
+
+    vals = [f'v{i}' for i in range(40)]
+    with_nulls = ray.data.from_arrow(pa.table({
+        'v': pa.array(vals + [None, None, None])}))
+    without = ray.data.from_arrow(pa.table({'v': pa.array(vals)}))
+    a = kmv_distinct(with_nulls, 'v', k=64).to_pylist()[0]
+    b = kmv_distinct(without, 'v', k=64).to_pylist()[0]
+    assert a == b
+    assert a['estimate'] == 40.0          # exact below k
+
+
+def test_pack_range_partition_snowflake_ids(ray_session):
+    """ADVICE r4 (low): doc_id spans beyond ~2^57 (snowflake-style)
+    must not overflow the range partitioner."""
+    import ray.data
+
+    from yargy_ray.stages.packing import pack_assignments
+
+    ids = [0, 1, (1 << 62) - 1, (1 << 62) + 5, (1 << 63) - 2]
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(ids, pa.int64()),
+        'text': pa.array([f'w{i} ' * (i % 7 + 1) for i in
+                          range(len(ids))])}))
+    got = pack_assignments(ds, seq_len=8, num_partitions=16) \
+        .to_pandas().sort_values('doc_id').reset_index(drop=True)
+    assert got['doc_id'].tolist() == sorted(ids)
+    n = got['n_tokens'].to_numpy()
+    expect_off = np.concatenate(([0], np.cumsum(n[:-1]))).tolist()
+    assert got['offset'].tolist() == expect_off
+
+
+def test_ivf_delta_idempotent_and_crash_safe(ray_session, tmp_path):
+    """ADVICE r4 (medium): re-applying the same delta is a no-op, and
+    a retry after a simulated crash (partial delta files on disk, no
+    manifest entry) does not double-count."""
+    import os
+
+    import ray.data
+
+    from yargy_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        merge_ivf_delta,
+    )
+
+    rng = np.random.RandomState(7)
+    base_vecs = rng.randn(100, 16).astype(np.float32)
+    base = ray.data.from_items([
+        {'vec_id': i, 'embedding': base_vecs[i].tolist()}
+        for i in range(100)])
+    idx = str(tmp_path / 'ivf_idem')
+    build_ivf_index(base, idx, num_lists=4, input_key='idem-t')
+
+    delta = ray.data.from_items([
+        {'vec_id': 500 + i, 'embedding': base_vecs[i].tolist()}
+        for i in range(3)])
+    man1 = merge_ivf_delta(idx, delta, delta_id='d1')
+    assert man1['rows_out'] == 103
+    # exact re-apply: no-op
+    man2 = merge_ivf_delta(idx, delta, delta_id='d1')
+    assert man2['rows_out'] == 103
+    assert man2['applied_deltas'] == ['d1']
+    # content-derived id also dedups a no-id re-apply
+    delta_b = ray.data.from_items([
+        {'vec_id': 700 + i, 'embedding': base_vecs[50 + i].tolist()}
+        for i in range(3)])
+    man3 = merge_ivf_delta(idx, delta_b)
+    man4 = merge_ivf_delta(idx, delta_b)
+    assert man4['rows_out'] == man3['rows_out'] == 106
+    # no duplicate neighbors in query results
+    out = ivf_topk_indexed(idx, base_vecs[:1], k=50, nprobe=4)
+    ids = [r['vec_id'] for r in out.to_pylist()]
+    assert len(ids) == len(set(ids))
+
+    # simulated crash: partial files under a delta-id dir, manifest
+    # NOT updated -> queries don't see it; retry wipes and lands once
+    ddir = os.path.join(idx, 'deltas', 'd2', 'ivf_list=0')
+    os.makedirs(ddir)
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        'vec_id': pa.array([900], pa.int64()),
+        'embedding': pa.array([base_vecs[0].tolist()],
+                              pa.list_(pa.float32()))}),
+        os.path.join(ddir, 'partial.parquet'))
+    out = ivf_topk_indexed(idx, base_vecs[:1], k=50, nprobe=4)
+    assert 900 not in [r['vec_id'] for r in out.to_pylist()]
+    delta2 = ray.data.from_items([
+        {'vec_id': 900, 'embedding': base_vecs[0].tolist()}])
+    man5 = merge_ivf_delta(idx, delta2, delta_id='d2')
+    assert man5["rows_out"] == 107
+    out = ivf_topk_indexed(idx, base_vecs[:1], k=50, nprobe=4)
+    assert [r['vec_id'] for r in out.to_pylist()].count(900) == 1

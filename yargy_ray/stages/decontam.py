@@ -28,16 +28,22 @@ def _word_ngrams(batch_text, n):
     concatenation over the flat token buffer (per-gram work, not
     per-row Python).
     """
-    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(batch_text))
+    trimmed = pc.fill_null(
+        pc.utf8_trim_whitespace(pc.utf8_lower(batch_text)), '')
     split = pc.split_pattern_regex(trimmed, _WS)
     toks = pc.list_flatten(split).to_numpy(zero_copy_only=False)
-    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
-    lens = np.where(
-        pc.equal(trimmed, '').to_numpy(zero_copy_only=False), 0, lens)
-    counts = np.maximum(lens.astype(np.int64) - (n - 1), 0)
+    # raw_lens describes the FLAT buffer (split('') -> [''] contributes
+    # one token); the blank-zeroed lens is only for gram counts. Using
+    # the zeroed lens for `starts` would shift every row after a blank
+    # row by one flat slot per blank.
+    raw_lens = pc.list_value_length(split) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    blank = pc.equal(trimmed, '').to_numpy(zero_copy_only=False)
+    lens = np.where(blank, 0, raw_lens)
+    counts = np.maximum(lens - (n - 1), 0)
     if toks.size == 0 or counts.sum() == 0:
         return np.array([], dtype=object), counts
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    starts = np.concatenate(([0], np.cumsum(raw_lens)))[:-1]
     # flat indices of every gram's first token, fully vectorized:
     # repeat each row's start, add the within-row gram ordinal
     total = int(counts.sum())

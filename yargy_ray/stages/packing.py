@@ -50,13 +50,18 @@ def pack_assignments(docs_ds, seq_len=2048, num_partitions=64):
             'offset': pa.array([], pa.int64()),
             'pack_id': pa.array([], pa.int64())}))
 
-    lo = counts.min('doc_id')
-    hi = counts.max('doc_id')
-    span = max(hi - lo + 1, 1)
+    lo = int(counts.min('doc_id'))
+    hi = int(counts.max('doc_id'))
+    span = max(hi - lo + 1, 1)          # Python int: no overflow
+    width = -(-span // num_partitions)  # ceil; divide BEFORE multiply
+    # so snowflake-scale id spans (> ~2^57) can't overflow int64
 
     def ranged(batch: pa.Table) -> pa.Table:
         ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
-        part = ((ids - lo) * num_partitions // span).astype(np.int64)
+        # uint64 wrap-around subtraction is exact for any int64 span
+        diff = ids.astype(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+        part = np.minimum(diff // np.uint64(width),
+                          num_partitions - 1).astype(np.int64)
         return batch.append_column('rpart', pa.array(part))
 
     keyed = counts.map_batches(ranged, batch_format='pyarrow')

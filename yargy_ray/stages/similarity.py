@@ -246,6 +246,7 @@ def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
     import ray.data
 
     from yargy_ray.state import storage
+    from yargy_ray.state.manifests import load_manifest
 
     cfs, cpath = storage.resolve(
         storage.join(index_dir, 'centroids.parquet'))
@@ -254,10 +255,15 @@ def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
     queries = _unit(np.asarray(queries, dtype=np.float32))
     probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(li) for row in probe_lists for li in row})
+    manifest = load_manifest(index_dir) or {}
+    deltas = _delta_list_dirs(index_dir, manifest)
     files = []
     for li in wanted:
         files.extend(storage.parquet_files(
             storage.join(index_dir, 'lists', f'ivf_list={li}')))
+        for dli, child in deltas:
+            if dli == li:
+                files.extend(storage.parquet_files(child))
     if not files:
         return pa.Table.from_pylist([], schema=pa.schema(
             [('query_id', pa.int64()), ('rank', pa.int64()),
@@ -305,17 +311,37 @@ def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4,
             shutil.rmtree(index_dir, ignore_errors=True)
 
 
-def merge_ivf_delta(index_dir, delta_ds, concurrency=(1, 4)):
+def _delta_list_dirs(index_dir, manifest):
+    """ivf_list=N dirs of every manifest-RECORDED delta (a crashed
+    apply's partial files are invisible until its manifest entry
+    lands, so queries never see half a delta)."""
+    from yargy_ray.state import storage
+
+    out = []
+    for did in manifest.get('applied_deltas', []):
+        ddir = storage.join(index_dir, 'deltas', did)
+        for name, child in sorted(storage.list_dirs(ddir).items()):
+            if name.startswith('ivf_list='):
+                out.append((int(name.split('=', 1)[1]), child))
+    return out
+
+
+def merge_ivf_delta(index_dir, delta_ds, delta_id=None,
+                    concurrency=(1, 4)):
     """Incremental IVF maintenance: absorb NEW vectors into a persisted
     index WITHOUT retraining or touching existing list files.
 
     Delta vectors are assigned with the index's OWN centroids (so
-    probe routing stays consistent) and appended as additional parquet
-    files inside their ``ivf_list=N`` dirs — the same append-only
-    layout the incremental triple merge uses; existing files are never
-    rewritten. The manifest's per-list rows are updated and the delta
-    is recorded. Queries through :func:`ivf_topk_indexed` see the
-    union immediately.
+    probe routing stays consistent) and written under a delta-id'd
+    subtree ``deltas/<delta_id>/ivf_list=N/`` — existing files are
+    never rewritten. The apply is **idempotent and crash-safe**:
+    ``delta_id`` (caller-supplied, or derived from the delta's row
+    count + vec_id range) is recorded atomically in the manifest's
+    ``applied_deltas`` AFTER the files land; a re-invoke with an
+    already-applied id is a no-op, and a retry after a crash between
+    write and manifest update wipes the partial subtree before
+    rewriting. Queries through :func:`ivf_topk_indexed` read base
+    lists plus manifest-recorded deltas only.
 
     Centroids drift as the corpus grows — the manifest tracks
     ``delta_rows_since_build`` so a caller can trigger a retrain once
@@ -328,6 +354,7 @@ def merge_ivf_delta(index_dir, delta_ds, concurrency=(1, 4)):
 
     from yargy_ray.state import storage
     from yargy_ray.state.manifests import (
+        fingerprint,
         load_manifest,
         manifest_path,
     )
@@ -335,6 +362,24 @@ def merge_ivf_delta(index_dir, delta_ds, concurrency=(1, 4)):
     manifest = load_manifest(index_dir)
     if manifest is None:
         raise ValueError(f'no IVF index manifest under {index_dir}')
+    if delta_id is None:
+        # content-derived id: count + vec_id range (cheap aggregates;
+        # good enough to catch the accidental same-delta re-apply —
+        # callers with real ingest batches should pass an explicit id)
+        n = delta_ds.count()
+        lo = delta_ds.min('vec_id') if n else 0
+        hi = delta_ds.max('vec_id') if n else 0
+        delta_id = fingerprint('ivf_delta', n, lo, hi)
+    applied = list(manifest.get('applied_deltas', []))
+    if delta_id in applied:
+        return manifest           # already absorbed: exact no-op
+
+    delta_dir = storage.join(index_dir, 'deltas', delta_id)
+    if storage.exists(delta_dir):
+        # partial files from a crashed previous attempt — wipe before
+        # rewriting so a retry can't double-count
+        storage.rmtree(delta_dir)
+
     cfs, cpath = storage.resolve(
         storage.join(index_dir, 'centroids.parquet'))
     centroids = _as_matrix(
@@ -344,16 +389,23 @@ def merge_ivf_delta(index_dir, delta_ds, concurrency=(1, 4)):
         IVFAssigner,
         fn_constructor_kwargs={'centroids_ref': centroids_ref},
         batch_format='pyarrow', concurrency=concurrency)
-    lists_dir = storage.join(index_dir, 'lists')
-    # write_parquet APPENDS new uniquely-named files into existing
-    # ivf_list= dirs (multi-file parquet layout)
-    assigned.write_parquet(lists_dir, partition_cols=['ivf_list'])
+    assigned.write_parquet(delta_dir, partition_cols=['ivf_list'])
 
-    parts = [
-        {'partition_id': int(name.split('=', 1)[1]),
-         'rows': storage.dir_rows(child)}
+    # recount per-list rows across base lists + ALL recorded deltas
+    # + this one, then commit the manifest atomically (the commit
+    # point: before it, the delta is invisible; after it, complete)
+    applied.append(delta_id)
+    manifest['applied_deltas'] = applied
+    lists_dir = storage.join(index_dir, 'lists')
+    rows_by_list = {
+        int(name.split('=', 1)[1]): storage.dir_rows(child)
         for name, child in sorted(storage.list_dirs(lists_dir).items())
-        if name.startswith('ivf_list=')]
+        if name.startswith('ivf_list=')}
+    for li, child in _delta_list_dirs(index_dir, manifest):
+        rows_by_list[li] = rows_by_list.get(li, 0) + \
+            storage.dir_rows(child)
+    parts = [{'partition_id': li, 'rows': r}
+             for li, r in sorted(rows_by_list.items())]
     delta_rows = sum(p['rows'] for p in parts) - manifest['rows_out']
     manifest['partitions'] = parts
     manifest['rows_out'] = sum(p['rows'] for p in parts)

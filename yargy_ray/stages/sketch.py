@@ -26,7 +26,9 @@ _SCALE = float(1 << 60)   # hashes are the first 60 bits of md5
 
 def _batch_kmins(batch: pa.Table, column, k) -> pa.Table:
     vals = batch.column(column)
-    distinct = vals.unique()
+    # drop nulls so the value universe matches SQL (md5(NULL) IS NULL,
+    # excluded) instead of hashing the literal 'None'
+    distinct = vals.unique().drop_null()
     hs = np.sort(np.fromiter(
         (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
          for v in distinct.to_pylist()),
