@@ -1365,7 +1365,62 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered by driver-verification priority: the driver's CORRECTNESS
+    # window checks the FIRST 50 entries, so never-driver-checked
+    # queries lead, then those longest out of the window, then the
+    # least-often-verified; multi-round-green veterans rotate out last.
     return {
+        # -- never driver-checked (added r4 past the window cutoff) --
+        'kg_pair_overlap': q_kg_pair_overlap,
+        'kg_degree_quantiles': q_kg_degree_quantiles,
+        'kg_pagerank': q_kg_pagerank,
+        'doc_pack': q_doc_pack,
+        'doc_decontam': q_doc_decontam,
+        'user_kmv': q_user_kmv,
+        'doc_heavy_tokens': q_doc_heavy_tokens,
+        'purchase_window_events': q_purchase_window_events,
+        # -- round-5 additions --
+        # (inserted here as they land so they stay inside the window)
+        # -- rotated out of the r4 window; last green r3 --
+        'kg_comention': q_kg_comention,
+        'kg_two_hop': q_kg_two_hop,
+        'kg_communities': q_kg_communities,
+        'kg_linked': q_kg_linked,
+        'doc_reconstruct': q_doc_reconstruct,
+        'kg_mentions_docscope': q_kg_mentions_docscope,
+        'kg_mention_counts': q_kg_mention_counts,
+        'multimodal_features': q_multimodal_features,
+        # -- driver-green exactly once (r4) --
+        'dup_survivors': q_dup_survivors,
+        'kg_incremental2': q_kg_incremental2,
+        'kg_comention_inc': q_kg_comention_inc,
+        'kg_triangles': q_kg_triangles,
+        'kg_top_neighbors': q_kg_top_neighbors,
+        'kg_entity_stats': q_kg_entity_stats,
+        'user_funnel': q_user_funnel,
+        'doc_top_terms': q_doc_top_terms,
+        # -- IVF query path touched this round (delta-aware reads) --
+        'emb_topk_ivf_full': q_emb_topk_ivf_full,
+        'emb_topk_ivf': q_emb_topk_ivf,
+        'emb_near_dups_exact': q_emb_near_dups_exact,
+        'emb_near_dups': q_emb_near_dups,
+        # -- driver-green twice --
+        'cust_no_urgent': q_cust_no_urgent,
+        'latest_user_event': q_latest_user_event,
+        'cust_urgent_semi': q_cust_urgent_semi,
+        'cust_totals_left': q_cust_totals_left,
+        'kg_address': q_kg_address,
+        'kg_edges': q_kg_edges,
+        'kg_incremental': q_kg_incremental,
+        # -- flagship + perf-watch (keep continuously verified) --
+        'kg_triples': q_kg_triples,
+        'kg_nodes': q_kg_nodes,
+        'minhash_pairs': q_minhash_pairs,
+        'simhash_pairs': q_simhash_pairs,
+        'dup_components': q_dup_components,
+        'ngram_pairs': q_ngram_pairs,
+        'doc_dup_groups': q_doc_dup_groups,
+        # ---- window cutoff backfill: 3-4x-green veterans ----
         'lineitem_agg': q_lineitem_agg,
         'filter_project': q_filter_project,
         'topk_orders': q_topk_orders,
@@ -1376,20 +1431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_quality': q_doc_quality,
         'doc_fingerprint': q_doc_fingerprint,
         'doc_bpe_tokens': q_doc_bpe_tokens,
-        'doc_dup_groups': q_doc_dup_groups,
         'extract_ints': q_extract_ints,
         'sessionize': q_sessionize,
         'tumbling_window': q_tumbling_window,
         'emb_topk': q_emb_topk,
-        'emb_topk_ivf': q_emb_topk_ivf,
-        'emb_topk_ivf_full': q_emb_topk_ivf_full,
-        'emb_near_dups': q_emb_near_dups,
-        'emb_near_dups_exact': q_emb_near_dups_exact,
-        'minhash_pairs': q_minhash_pairs,
-        'simhash_pairs': q_simhash_pairs,
-        'dup_components': q_dup_components,
-        'dup_survivors': q_dup_survivors,
-        'ngram_pairs': q_ngram_pairs,
         'rolling_fingerprint': q_rolling_fingerprint,
         'asof_purchase': q_asof_purchase,
         'hopping_window': q_hopping_window,
@@ -1400,38 +1445,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'vocab_counts': q_vocab_counts,
         'topk_orders_per_cust': q_topk_orders_per_cust,
         'session_assign': q_session_assign,
-        'cust_no_urgent': q_cust_no_urgent,
-        'latest_user_event': q_latest_user_event,
-        'cust_urgent_semi': q_cust_urgent_semi,
-        'cust_totals_left': q_cust_totals_left,
-        'kg_triples': q_kg_triples,
-        'kg_address': q_kg_address,
-        'kg_nodes': q_kg_nodes,
-        'kg_edges': q_kg_edges,
-        'kg_incremental': q_kg_incremental,
-        'kg_incremental2': q_kg_incremental2,
-        'kg_comention_inc': q_kg_comention_inc,
-        'kg_triangles': q_kg_triangles,
-        'kg_top_neighbors': q_kg_top_neighbors,
-        'kg_entity_stats': q_kg_entity_stats,
-        'user_funnel': q_user_funnel,
-        'doc_top_terms': q_doc_top_terms,
-        'kg_pair_overlap': q_kg_pair_overlap,
-        'kg_degree_quantiles': q_kg_degree_quantiles,
-        'kg_pagerank': q_kg_pagerank,
-        'doc_pack': q_doc_pack,
-        'doc_decontam': q_doc_decontam,
-        'user_kmv': q_user_kmv,
-        'doc_heavy_tokens': q_doc_heavy_tokens,
-        'purchase_window_events': q_purchase_window_events,
-        'kg_comention': q_kg_comention,
-        'kg_two_hop': q_kg_two_hop,
-        'kg_communities': q_kg_communities,
-        'kg_linked': q_kg_linked,
-        'doc_reconstruct': q_doc_reconstruct,
-        'kg_mentions_docscope': q_kg_mentions_docscope,
-        'kg_mention_counts': q_kg_mention_counts,
-        'multimodal_features': q_multimodal_features,
     }
 
 
