@@ -1355,6 +1355,109 @@ def q_multimodal_features(sf_dir):
     return feats.map_batches(flatten, batch_format='pyarrow')
 
 
+def q_orders_rollup(sf_dir):
+    """GROUP BY ROLLUP(priority, status) over orders — one map-side
+    combined exchange at the finest grain, coarser levels derived from
+    the category-cardinality fine aggregate (stages/olap.py:
+    rollup_aggregate); ``lvl`` mirrors DuckDB's GROUPING bitmask."""
+    from yargy_ray.stages.olap import rollup_aggregate
+    ds = _read(sf_dir, 'orders').select_columns(
+        ['o_orderpriority', 'o_orderstatus', 'o_totalprice'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'o_orderpriority': batch.column('o_orderpriority'),
+            'o_orderstatus': batch.column('o_orderstatus'),
+            'total_cents': _cents(batch.column('o_totalprice')),
+        })
+
+    return rollup_aggregate(
+        ds.map_batches(prep, batch_format='pyarrow'),
+        ['o_orderpriority', 'o_orderstatus'], ['total_cents'])
+
+
+def q_order_price_histogram(sf_dir):
+    """Fixed-width histogram of order totals ($50k buckets, clamped at
+    10): map-side bincount, ONE tiny reduce, zero-filled stable schema
+    (stages/olap.py:fixed_histogram)."""
+    from yargy_ray.stages.olap import fixed_histogram
+    ds = _read(sf_dir, 'orders').select_columns(['o_totalprice'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({'total_cents': _cents(
+            batch.column('o_totalprice'))})
+
+    return fixed_histogram(
+        ds.map_batches(prep, batch_format='pyarrow'),
+        'total_cents', lo=0, width=5_000_000, num_buckets=10)
+
+
+def q_event_gaps(sf_dir):
+    """Per-event LAG gap (microseconds since the user's previous
+    event; null for firsts) — stages/windows.py:event_gaps, one
+    user-keyed exchange + numpy lexsort/diff per partition."""
+    from yargy_ray.stages.windows import event_gaps
+    return event_gaps(_read(sf_dir, 'events').select_columns(
+        ['event_id', 'user_id', 'ts']))
+
+
+def q_user_event_pivot(sf_dir):
+    """Pivot: per-user count columns over the closed event-type set
+    (stages/olap.py:pivot_counts — map-side (key, cat) combine, one
+    user-keyed exchange, vectorized per-partition pivot)."""
+    from yargy_ray.stages.olap import pivot_counts
+    return pivot_counts(
+        _read(sf_dir, 'events').select_columns(
+            ['user_id', 'event_type']),
+        'user_id', 'event_type',
+        ['click', 'error', 'purchase', 'signup', 'view'])
+
+
+def q_bigram_counts(sf_dir):
+    """Corpus bigram LM counts with min_count=2 (stages/text.py:
+    bigram_counts — same exchange shape as vocab_counts; ships
+    per-batch DISTINCT bigrams only)."""
+    from yargy_ray.stages.text import bigram_counts
+    return bigram_counts(_read(sf_dir, 'documents').select_columns(
+        ['text']), min_count=2)
+
+
+def q_doc_repetition(sf_dir):
+    """Gopher-style duplicate-bigram signal per doc: total vs DISTINCT
+    bigram counts, pure map-side (stages/text.py:repetition_batch)."""
+    from yargy_ray.stages.text import repetition_batch
+    return _read(sf_dir, 'documents').select_columns(
+        ['doc_id', 'text']).map_batches(
+        repetition_batch, batch_format='pyarrow')
+
+
+def q_multimodal_audio(sf_dir):
+    """REAL-codec multimodal path: 16-bit PCM WAV payloads (stdlib
+    ``wave`` container, genuine binary format) decoded by StdlibCodec
+    in an actor-pool stage, integral features out
+    (stages/multimodal.py:AudioFeaturizer). The oracle is the pinned
+    first-principles fixture — bit-for-bit, not rows-only."""
+    import ray.data
+    from yargy_ray.stages.multimodal import (
+        featurize_audio,
+        StdlibCodec,
+        synth_real_media,
+    )
+    media = ray.data.from_arrow(synth_real_media(200))
+    audio = media.filter(expr="kind == 'audio'")
+    return featurize_audio(audio, codec=StdlibCodec(),
+                           concurrency=(1, 2))
+
+
+def q_kg_degree_corr(sf_dir):
+    """Degree-assortativity moments of the KG edge table: one row of
+    integer sums (stages/graph.py:degree_correlation — node-degree
+    exchange, degree table broadcast onto the streaming edges, tiny
+    constant-key reduce)."""
+    from yargy_ray.stages.graph import degree_correlation
+    return degree_correlation(q_kg_edges(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver surface
 # ---------------------------------------------------------------------------
@@ -1380,7 +1483,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_heavy_tokens': q_doc_heavy_tokens,
         'purchase_window_events': q_purchase_window_events,
         # -- round-5 additions --
-        # (inserted here as they land so they stay inside the window)
+        'orders_rollup': q_orders_rollup,
+        'order_price_histogram': q_order_price_histogram,
+        'event_gaps': q_event_gaps,
+        'user_event_pivot': q_user_event_pivot,
+        'bigram_counts': q_bigram_counts,
+        'doc_repetition': q_doc_repetition,
+        'kg_degree_corr': q_kg_degree_corr,
+        'multimodal_audio': q_multimodal_audio,
         # -- rotated out of the r4 window; last green r3 --
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
@@ -1471,6 +1581,10 @@ def _transcript_glob():
 _MULTIMODAL_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     'tests', 'fixtures', 'multimodal_features.parquet')
+
+_MULTIMODAL_AUDIO_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    'tests', 'fixtures', 'multimodal_audio.parquet')
 
 
 def _mulmod64_sql(x: str, c: int) -> str:
@@ -1861,6 +1975,29 @@ def _docscope_oracle_sql() -> str:
                fact_json
         FROM m
     """
+
+
+# the KG edge-aggregation SELECT (over the `trip` CTE) — shared by the
+# kg_edges oracle and everything downstream of the edge table
+_EDGES_SELECT = """
+            SELECT SUBSTR(MD5(
+                       (CASE WHEN pred = 'has_position' THEN 'person'
+                             ELSE 'turn' END) || ':' || subj), 1, 16)
+                       AS src,
+                   SUBSTR(MD5(
+                       (CASE pred
+                            WHEN 'mentions_date' THEN 'date'
+                            WHEN 'mentions_amount' THEN 'amount'
+                            WHEN 'mentions_person' THEN 'person'
+                            WHEN 'mentions_address' THEN 'address'
+                            WHEN 'mentions_title' THEN 'title'
+                            WHEN 'cites_clause' THEN 'clause'
+                            WHEN 'has_position' THEN 'position'
+                            ELSE 'value' END) || ':' || obj), 1, 16)
+                       AS dst,
+                   pred, COUNT(*) AS weight
+            FROM trip GROUP BY src, dst, pred
+"""
 
 
 def _triples_cte():
@@ -2761,23 +2898,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         """,
         'kg_edges': f"""
             WITH {_triples_cte()}
-            SELECT SUBSTR(MD5(
-                       (CASE WHEN pred = 'has_position' THEN 'person'
-                             ELSE 'turn' END) || ':' || subj), 1, 16)
-                       AS src,
-                   SUBSTR(MD5(
-                       (CASE pred
-                            WHEN 'mentions_date' THEN 'date'
-                            WHEN 'mentions_amount' THEN 'amount'
-                            WHEN 'mentions_person' THEN 'person'
-                            WHEN 'mentions_address' THEN 'address'
-                            WHEN 'mentions_title' THEN 'title'
-                            WHEN 'cites_clause' THEN 'clause'
-                            WHEN 'has_position' THEN 'position'
-                            ELSE 'value' END) || ':' || obj), 1, 16)
-                       AS dst,
-                   pred, COUNT(*) AS weight
-            FROM trip GROUP BY src, dst, pred
+            {_EDGES_SELECT}
         """,
         'kg_linked': f"""
             WITH {_triples_cte()}
@@ -2842,5 +2963,112 @@ def _oracle_sql_dict() -> dict[str, str]:
         'multimodal_features': f"""
             SELECT media_id, f0, f1, f2
             FROM read_parquet('{_MULTIMODAL_FIXTURE}')
+        """,
+        # pinned golden fixture: expected StdlibCodec WAV-decode
+        # features re-derived from first principles by
+        # scripts/make_multimodal_audio_fixture.py (committed parquet)
+        'multimodal_audio': f"""
+            SELECT media_id, n_samples, pcm_sumsq
+            FROM read_parquet('{_MULTIMODAL_AUDIO_FIXTURE}')
+        """,
+        'orders_rollup': """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_rows,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus)
+                        AS BIGINT) AS lvl
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        'order_price_histogram': """
+            WITH c AS (
+                SELECT LEAST(CAST(FLOOR(
+                           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                           / 5000000) AS BIGINT), 9) AS bucket,
+                       COUNT(*) AS n
+                FROM orders GROUP BY bucket)
+            SELECT t.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM RANGE(0, 10) t(bucket)
+            LEFT JOIN c ON t.bucket = c.bucket
+        """,
+        'event_gaps': """
+            SELECT event_id, user_id,
+                   DATE_DIFF('microseconds',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_us
+            FROM events
+        """,
+        'user_event_pivot': """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase')
+                       AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        'bigram_counts': r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+')) AS tok,
+                       GENERATE_SUBSCRIPTS(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+'), 1) AS ord
+                FROM documents WHERE TRIM(text) <> ''
+            ), bigrams AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            )
+            SELECT bigram, COUNT(*) AS n FROM bigrams
+            GROUP BY bigram HAVING COUNT(*) >= 2
+        """,
+        'doc_repetition': r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+')) AS tok,
+                       GENERATE_SUBSCRIPTS(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+'), 1) AS ord
+                FROM documents WHERE TRIM(text) <> ''
+            ), bigrams AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            ), per_doc AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       COUNT(DISTINCT bigram) AS n_distinct
+                FROM bigrams GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(p.n_distinct, 0) AS BIGINT)
+                       AS n_distinct
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        'kg_degree_corr': f"""
+            WITH {_triples_cte()}, edges AS (
+                {_EDGES_SELECT}
+            ), deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT src AS node FROM edges
+                    UNION ALL SELECT dst AS node FROM edges)
+                GROUP BY node
+            )
+            SELECT COUNT(*) AS n_edges,
+                   CAST(SUM(du.degree) AS BIGINT) AS sum_du,
+                   CAST(SUM(dv.degree) AS BIGINT) AS sum_dv,
+                   CAST(SUM(du.degree * dv.degree) AS BIGINT)
+                       AS sum_du_dv,
+                   CAST(SUM(du.degree * du.degree) AS BIGINT)
+                       AS sum_du2,
+                   CAST(SUM(dv.degree * dv.degree) AS BIGINT)
+                       AS sum_dv2
+            FROM edges e
+            JOIN deg du ON e.src = du.node
+            JOIN deg dv ON e.dst = dv.node
         """,
     }

@@ -672,3 +672,107 @@ def pagerank(edges_ds, damping=0.85, iters=10, num_partitions=64,
                 storage.rmtree(edges_dir)
             except OSError:
                 pass
+
+
+def node_degrees(edges_ds, a='src', b='dst', num_partitions=64):
+    """Undirected degree per node: each edge row contributes 1 to both
+    endpoints (self-loops count twice, matching the SQL union oracle).
+
+    Map-side combine (per-batch value_counts over the concatenated
+    endpoint arrays), ONE hash exchange keyed by the node string —
+    exchange rows = distinct nodes per batch.
+    """
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ca = pc.cast(batch.column(a), pa.string())
+        cb = pc.cast(batch.column(b), pa.string())
+        nodes = pa.chunked_array(list(ca.chunks) + list(cb.chunks))
+        counts = nodes.value_counts()
+        return pa.table({
+            'node': counts.field('values'),
+            'degree': counts.field('counts').cast(pa.int64()),
+        })
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('nkey',
+                                   _hash64(batch.column('node')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['node', 'degree']).to_pandas()
+        agg = df.groupby('node', sort=False,
+                         as_index=False)['degree'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return partitioned_reduce(
+        edges_ds.map_batches(partial, batch_format='pyarrow')
+        .map_batches(keyed, batch_format='pyarrow'),
+        'nkey', reduce_fn, num_partitions, coalesce='auto')
+
+
+def degree_correlation(edges_ds, a='src', b='dst', num_partitions=64):
+    """Degree-assortativity moments: ONE row of integer sums over all
+    edges — (n_edges, sum_du, sum_dv, sum_du_dv, sum_du2, sum_dv2),
+    where du/dv are the endpoints' undirected degrees. The Pearson
+    correlation (Newman's assortativity over directed edge ends)
+    derives from these in one driver-side division; keeping the
+    OUTPUT integral makes the sums bit-exact SQL-checkable, with the
+    float step outside the compare.
+
+    Shape: degree table (node-cardinality — the broadcast small side,
+    same contract as the pair-overlap entity counts; swap for the
+    co-partitioned hash_join when node count outgrows worker memory)
+    broadcast onto the streaming edge table twice, then map-side
+    partial sums -> one tiny constant-key reduce.
+    """
+    import numpy as np
+
+    from yargy_ray.stages.exchange import partitioned_reduce
+    from yargy_ray.stages.joins import broadcast_join
+
+    degrees = node_degrees(edges_ds, a=a, b=b,
+                           num_partitions=num_partitions)
+    with_du = broadcast_join(
+        edges_ds.select_columns([a, b]), degrees, a, 'node',
+        ['degree'])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index('degree')
+        return batch.rename_columns([
+            'du' if j == i else nm
+            for j, nm in enumerate(batch.column_names)])
+
+    with_both = broadcast_join(
+        with_du.map_batches(rn, batch_format='pyarrow'),
+        degrees, b, 'node', ['degree'])
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        du = batch.column('du').to_numpy(zero_copy_only=False)
+        dv = batch.column('degree').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'n_edges': pa.array([batch.num_rows], pa.int64()),
+            'sum_du': pa.array([int(du.sum())], pa.int64()),
+            'sum_dv': pa.array([int(dv.sum())], pa.int64()),
+            'sum_du_dv': pa.array([int((du * dv).sum())], pa.int64()),
+            'sum_du2': pa.array([int((du * du).sum())], pa.int64()),
+            'sum_dv2': pa.array([int((dv * dv).sum())], pa.int64()),
+        })
+
+    cols = ['n_edges', 'sum_du', 'sum_dv', 'sum_du_dv', 'sum_du2',
+            'sum_dv2']
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        return batch.append_column('zero', pa.array(
+            np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def merge(table: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array(
+            [pc.sum(table.column(c)).as_py() or 0], pa.int64())
+            for c in cols})
+
+    return partitioned_reduce(
+        with_both.map_batches(partial_sums, batch_format='pyarrow')
+        .map_batches(keyed, batch_format='pyarrow'),
+        'zero', merge, 1, coalesce='auto')

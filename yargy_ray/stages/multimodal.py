@@ -142,3 +142,150 @@ def featurize_images(media_ds, concurrency=(1, 4), batch_size=16):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-container codec path (stdlib only — no external media libraries)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: 'np.ndarray') -> bytes:
+    """Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up) —
+    a REAL container format, written from the public spec, so the
+    codec-injection contract can be exercised end to end without
+    Pillow. ``pixels``: (h, w, 3) uint8 RGB."""
+    import struct
+    h, w, _ = pixels.shape
+    row_pad = (-(w * 3)) % 4
+    img_size = (w * 3 + row_pad) * h
+    header = struct.pack('<2sIHHI', b'BM', 54 + img_size, 0, 0, 54)
+    info = struct.pack('<IiiHHIIiiII', 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    bgr = pixels[:, :, ::-1]                    # BMP stores BGR
+    pad = b'\x00' * row_pad
+    for y in range(h - 1, -1, -1):              # bottom-up
+        rows.append(bgr[y].tobytes() + pad)
+    return header + info + b''.join(rows)
+
+
+def encode_wav(samples: 'np.ndarray', sample_rate: int) -> bytes:
+    """16-bit PCM mono WAV via the stdlib ``wave`` module.
+    ``samples``: float array in [-1, 1)."""
+    import io
+    import wave
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype('<i2')
+    buf = io.BytesIO()
+    with wave.open(buf, 'wb') as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class StdlibCodec:
+    """REAL decode path over genuine binary containers, stdlib only:
+    24-bit BMP images (struct + numpy) and 16-bit PCM WAV audio
+    (``wave``). Same interface as FakeCodec/LibraryCodec — this is the
+    proof that the codec-injection seam works against real formats,
+    not just the deterministic stand-in; swap in Pillow/libsndfile via
+    ``LibraryCodec`` for compressed formats."""
+
+    def decode_image(self, payload, width=None, height=None):
+        import struct
+        if payload[:2] != b'BM':
+            raise ValueError('not a BMP payload')
+        data_off = struct.unpack_from('<I', payload, 10)[0]
+        hdr_size, w, h, _planes, bpp = struct.unpack_from(
+            '<IiiHH', payload, 14)
+        comp = struct.unpack_from('<I', payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError('StdlibCodec supports 24-bit BI_RGB only')
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=stride * h, offset=data_off)
+        rows = raw.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()          # BGR -> RGB
+
+    def decode_audio(self, payload, sample_rate=None):
+        import io
+        import wave
+        with wave.open(io.BytesIO(payload), 'rb') as f:
+            if f.getsampwidth() != 2 or f.getnchannels() != 1:
+                raise ValueError(
+                    'StdlibCodec supports 16-bit mono PCM only')
+            pcm = np.frombuffer(
+                f.readframes(f.getnframes()), dtype='<i2')
+        return pcm.astype(np.float32) / 32768.0
+
+
+class AudioFeaturizer:
+    """Actor stage: decode audio -> integral features (n_samples, and
+    sum of squared int16 PCM values — an exact-integer RMS numerator,
+    so the output is bit-checkable without float hashing)."""
+
+    def __init__(self, codec=None):
+        self.codec = codec if codec is not None else FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column('media_id').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        rates = batch.column('sample_rate').to_pylist()
+        n_samples, sumsq = [], []
+        for payload, rate in zip(payloads, rates):
+            samples = self.codec.decode_audio(payload, rate)
+            pcm = np.clip(samples * 32768.0, -32768, 32767) \
+                .astype(np.int64)
+            n_samples.append(len(samples))
+            sumsq.append(int((pcm * pcm).sum()))
+        return pa.table({
+            'media_id': pa.array(ids, type=pa.int64()),
+            'n_samples': pa.array(n_samples, type=pa.int64()),
+            'pcm_sumsq': pa.array(sumsq, type=pa.int64()),
+        })
+
+
+def featurize_audio(media_ds, codec=None, concurrency=(1, 4),
+                    batch_size=16):
+    kwargs = {'codec': codec} if codec is not None else {}
+    return media_ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs=kwargs,
+        batch_format='pyarrow',
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_real_media(num_items, seed=23):
+    """Deterministic table of REAL container payloads: alternating
+    24-bit BMP images and 16-bit PCM WAV sine clips (stdlib encoders
+    above) — the fixture generator for the real-codec path."""
+    rows = []
+    for i in range(num_items):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        if i % 2 == 0:
+            w = int(rng.choice([15, 16, 31, 32]))   # odd widths: padding
+            h = int(rng.choice([8, 16, 24]))
+            pixels = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append({
+                'media_id': i, 'kind': 'image',
+                'payload': encode_bmp(pixels),
+                'width': w, 'height': h, 'sample_rate': 0,
+                'n_frames': 1})
+        else:
+            rate = 8000
+            n = int(rng.randint(100, 400))
+            freq = float(rng.randint(100, 1000))
+            t = np.arange(n, dtype=np.float64) / rate
+            samples = 0.5 * np.sin(2 * np.pi * freq * t)
+            rows.append({
+                'media_id': i, 'kind': 'audio',
+                'payload': encode_wav(samples, rate),
+                'width': 0, 'height': 0, 'sample_rate': rate,
+                'n_frames': 1})
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -281,3 +282,77 @@ def doc_top_terms(docs_ds, k=3, num_partitions=64, concurrency=(1, 4)):
     return topk_per_group(joined, 'doc_id', 'tf', k=k,
                           tiebreak='token',
                           num_partitions=num_partitions)
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combine: per-batch bigram counts (lowercased
+    whitespace tokens; same split semantics as vocab_counts and the
+    decontamination n-grams — one flat-buffer pass per batch)."""
+    from yargy_ray.stages.decontam import _word_ngrams
+    grams, _ = _word_ngrams(batch.column('text'), 2)
+    if not len(grams):
+        return pa.table({'bigram': pa.array([], type=pa.string()),
+                         'n': pa.array([], type=pa.int64())})
+    counts = pa.array(grams, type=pa.string()).value_counts()
+    return pa.table({
+        'bigram': counts.field('values'),
+        'n': counts.field('counts').cast(pa.int64()),
+    })
+
+
+def bigram_counts(docs_ds, min_count=1, num_partitions=64):
+    """Corpus bigram language-model counts: (bigram, n) global totals.
+
+    Same exchange shape as :func:`vocab_counts` — map-side partial
+    counts, ONE hash exchange keyed by a vectorized bigram hash,
+    in-partition sum. The exchange ships per-batch DISTINCT bigrams
+    only (sub-linear in corpus size)."""
+    from yargy_ray.pipelines.kg import _hash64
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    partial = docs_ds.map_batches(_bigram_partial,
+                                  batch_format='pyarrow')
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column('bkey',
+                                   _hash64(batch.column('bigram')))
+
+    def reduce_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['bigram', 'n']).to_pandas()
+        agg = df.groupby('bigram', sort=False,
+                         as_index=False)['n'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = partitioned_reduce(
+        partial.map_batches(keyed, batch_format='pyarrow'),
+        'bkey', reduce_fn, num_partitions, coalesce='auto')
+    if min_count > 1:
+        out = out.filter(expr=f'n >= {min_count}')
+    return out
+
+
+def repetition_batch(batch: pa.Table, n=2) -> pa.Table:
+    """Per-doc n-gram repetition: total vs DISTINCT n-grams — the
+    Gopher-style duplicate-n-gram quality signal (a high
+    ``n_grams - n_distinct`` gap marks boilerplate/looped text).
+    Pure map-side (no shuffle); integers end to end, so the SQL oracle
+    is COUNT vs COUNT(DISTINCT)."""
+    import pandas as pd
+
+    from yargy_ray.stages.decontam import _word_ngrams
+
+    grams, counts = _word_ngrams(batch.column('text'), n)
+    rows = batch.num_rows
+    if len(grams):
+        row_of = np.repeat(np.arange(rows), counts)
+        df = pd.DataFrame({'r': row_of, 'g': grams})
+        nun = df.groupby('r', sort=False)['g'].nunique()
+        distinct = np.zeros(rows, dtype=np.int64)
+        distinct[nun.index.to_numpy()] = nun.to_numpy()
+    else:
+        distinct = np.zeros(rows, dtype=np.int64)
+    return pa.table({
+        'doc_id': batch.column('doc_id'),
+        'n_grams': pa.array(counts.astype(np.int64)),
+        'n_distinct': pa.array(distinct),
+    })

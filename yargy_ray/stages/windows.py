@@ -224,3 +224,47 @@ def funnel_stages(events_ds, stages=('click', 'view', 'purchase'),
     return partitioned_reduce(
         events_ds.select_columns(['user_id', 'ts', 'event_type']),
         'user_id', reduce_fn, num_partitions, coalesce='auto')
+
+
+def event_gaps(events_ds, num_partitions=64):
+    """Per-event gap to the same user's PREVIOUS event (SQL LAG):
+    ``gap_us`` = microseconds since the prior event in (ts, event_id)
+    order, null for each user's first event.
+
+    The lag family (lag/lead/diff) is the canonical "needs complete
+    per-key groups in time order" window op: ONE hash exchange by
+    user, then one numpy lexsort + diff per partition — never a
+    per-user UDF call. Exchange carries (event_id, user_id, ts) only.
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return pa.table({
+                'event_id': pa.array([], type=pa.int64()),
+                'user_id': pa.array([], type=pa.int64()),
+                'gap_us': pa.array([], type=pa.int64()),
+            })
+        user = pc.cast(part.column('user_id'), pa.int64()).to_numpy()
+        ts = (part.column('ts').cast(pa.timestamp('us'))
+              .to_numpy().astype('int64'))
+        eid = pc.cast(part.column('event_id'), pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid = user[order], ts[order], eid[order]
+        gap = np.empty(n, dtype=np.int64)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        np.not_equal(user[1:], user[:-1], out=first[1:])
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[0] = 0
+        return pa.table({
+            'event_id': pa.array(eid),
+            'user_id': pa.array(user),
+            'gap_us': pa.array(
+                np.ma.masked_array(gap, mask=first)),
+        })
+
+    return partitioned_reduce(
+        events_ds.select_columns(['event_id', 'user_id', 'ts']),
+        'user_id', reduce_fn, num_partitions, coalesce='auto')
