@@ -167,6 +167,10 @@ SECONDARY_PICKS = [
     'kg_comention', 'kg_two_hop',
     'kg_triangles', 'kg_entity_stats', 'user_funnel',
     'doc_pack', 'doc_decontam', 'user_kmv', 'doc_heavy_tokens',
+    # round-5 additions
+    'orders_rollup', 'order_price_histogram', 'event_gaps',
+    'user_event_pivot', 'bigram_counts', 'doc_repetition',
+    'kg_degree_corr', 'multimodal_audio',
 ]
 
 

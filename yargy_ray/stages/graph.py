@@ -731,11 +731,15 @@ def degree_correlation(edges_ds, a='src', b='dst', num_partitions=64):
     from yargy_ray.stages.exchange import partitioned_reduce
     from yargy_ray.stages.joins import broadcast_join
 
+    # edges feed THREE consumers (degree build + two joins) and degrees
+    # feed two: materialize both or the upstream lineage (possibly a
+    # full extraction pass) re-executes per consumer — the same
+    # twice-consumed-input fix as triangle_counts
+    edges_ds = edges_ds.select_columns([a, b]).materialize()
     degrees = node_degrees(edges_ds, a=a, b=b,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions).materialize()
     with_du = broadcast_join(
-        edges_ds.select_columns([a, b]), degrees, a, 'node',
-        ['degree'])
+        edges_ds, degrees, a, 'node', ['degree'])
 
     def rn(batch: pa.Table) -> pa.Table:
         i = batch.column_names.index('degree')

@@ -76,27 +76,21 @@ def rollup_aggregate(ds, keys, vals, num_partitions=64):
         .map_batches(keyed, batch_format='pyarrow'),
         'rkey', reduce_fine, num_partitions, coalesce='auto')
 
-    def with_lvl(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(
-            'lvl', pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
-        return batch.select(list(keys) + list(vals) + ['n_rows', 'lvl'])
-
     # the fine aggregate is category-cardinality sized: ONE block, and
-    # every coarser level derives from it in one whole-block call
-    # (batch_size=None so a level is never split across batches)
-    fine_one = fine.repartition(1).materialize()
-    levels = [fine_one.map_batches(with_lvl, batch_format='pyarrow',
-                                   batch_size=None)]
-    for i in range(len(keys) - 1, -1, -1):
-        kept = list(keys[:i])
-        rolled = list(keys[i:])
-        lvl = sum(1 << (len(keys) - 1 - list(keys).index(r))
-                  for r in rolled)
-
-        def coarsen(batch: pa.Table, kept=kept, rolled=rolled,
-                    lvl=lvl) -> pa.Table:
-            if batch.num_rows == 0:
-                return _empty_rollup(keys, vals)
+    # every level (fine + all coarser) derives from it in one
+    # whole-block call (batch_size=None so a level is never split)
+    def all_levels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_rollup(keys, vals)
+        order = list(keys) + list(vals) + ['n_rows', 'lvl']
+        pieces = [batch.append_column(
+            'lvl', pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+            .select(order)]
+        for i in range(len(keys) - 1, -1, -1):
+            kept = list(keys[:i])
+            rolled = list(keys[i:])
+            lvl = sum(1 << (len(keys) - 1 - list(keys).index(r))
+                      for r in rolled)
             if kept:
                 agg = batch.select(kept + list(vals) + ['n_rows']) \
                     .group_by(kept) \
@@ -118,16 +112,11 @@ def rollup_aggregate(ds, keys, vals, num_partitions=64):
             for v in list(vals) + ['n_rows']:
                 cols[v] = src[v]
             cols['lvl'] = pa.array(np.full(n, lvl, dtype=np.int64))
-            return pa.table(cols).select(
-                list(keys) + list(vals) + ['n_rows', 'lvl'])
+            pieces.append(pa.table(cols).select(order))
+        return pa.concat_tables(pieces)
 
-        levels.append(fine_one.map_batches(
-            coarsen, batch_format='pyarrow', batch_size=None))
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out
+    return fine.repartition(1).map_batches(
+        all_levels, batch_format='pyarrow', batch_size=None)
 
 
 def _empty_rollup(keys, vals):
