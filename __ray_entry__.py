@@ -1449,6 +1449,107 @@ def q_multimodal_audio(sf_dir):
                            concurrency=(1, 2))
 
 
+def q_unshipped_revenue(sf_dir):
+    """TPC-H-Q3-shaped composite: BUILDING-segment customers' orders
+    placed before the cutoff with lineitems shipped after it — SEMI
+    hash join (orders x segment customers) feeding a big-big INNER
+    hash join (lineitem x orders), pre-aggregated revenue cents,
+    top-10 by revenue. Exercises multi-stage join composition on one
+    co-partitioning key."""
+    from yargy_ray.stages.joins import hash_join
+
+    cutoff = pa.scalar(np.datetime64('1998-01-01T00:00:00', 'us'),
+                       pa.timestamp('us'))
+
+    building = _read(sf_dir, 'customer').filter(
+        expr="c_mktsegment == 'BUILDING'").select_columns(
+        ['c_custkey']).map_batches(
+        lambda b: _rename(b, {'c_custkey': 'o_custkey'}),
+        batch_format='pyarrow')
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column('o_orderdate'),
+                                     cutoff))
+        return batch.select(['o_orderkey', 'o_custkey', 'o_orderdate'])
+
+    orders = _read(sf_dir, 'orders').select_columns(
+        ['o_orderkey', 'o_custkey', 'o_orderdate']).map_batches(
+        orders_prep, batch_format='pyarrow')
+    orders = hash_join(orders, building, on='o_custkey', how='semi') \
+        .map_batches(lambda b: _rename(b, {'o_orderkey': 'l_orderkey'}),
+                     batch_format='pyarrow')
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column('l_shipdate'),
+                                        cutoff))
+        revenue = pc.multiply(
+            pc.cast(batch.column('l_extendedprice'), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column('l_discount'),
+                                     pa.float64())))
+        return pa.table({
+            'l_orderkey': batch.column('l_orderkey'),
+            'revenue_cents': _cents(revenue),
+        })
+
+    lineitem = _read(sf_dir, 'lineitem').select_columns(
+        ['l_orderkey', 'l_extendedprice', 'l_discount',
+         'l_shipdate']).map_batches(line_prep, batch_format='pyarrow')
+
+    j = hash_join(lineitem, orders, on='l_orderkey')
+    agg = j.groupby(['l_orderkey', 'o_orderdate']) \
+        .sum('revenue_cents')
+
+    def rename(batch: pa.Table) -> pa.Table:
+        batch = _rename(batch, {'l_orderkey': 'o_orderkey',
+                                'sum(revenue_cents)': 'revenue_cents'})
+        # the groupby can round-trip the key through datetime64[s];
+        # pin the oracle's microsecond unit
+        i = batch.column_names.index('o_orderdate')
+        return batch.set_column(
+            i, 'o_orderdate',
+            pc.cast(batch.column('o_orderdate'), pa.timestamp('us')))
+
+    return (agg.map_batches(rename, batch_format='pyarrow')
+            .sort(['revenue_cents', 'o_orderdate', 'o_orderkey'],
+                  descending=[True, False, False])
+            .limit(10))
+
+
+def q_collocations(sf_dir):
+    """PMI collocation pieces: frequent bigrams (n_ab >= 5) joined with
+    each word's corpus unigram count — integer numerator/denominator
+    parts of pointwise mutual information (the float log lives outside
+    the compare). Vocab table is Heaps-law bounded -> the broadcast
+    small side (doc_top_terms precedent)."""
+    from yargy_ray.stages.joins import broadcast_join
+    from yargy_ray.stages.text import bigram_counts, vocab_counts
+
+    docs = _read(sf_dir, 'documents').select_columns(['text'])
+    bi = bigram_counts(docs, min_count=5)
+    # two broadcast consumers: materialize the (bounded) vocab once
+    uni = vocab_counts(docs, min_count=1).materialize()
+
+    def split_words(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column('bigram'), ' ')
+        return pa.table({
+            'bigram': batch.column('bigram'),
+            'n_ab': batch.column('n'),
+            'w1': pc.list_element(parts, 0),
+            'w2': pc.list_element(parts, 1),
+        })
+
+    with_w = bi.map_batches(split_words, batch_format='pyarrow')
+    j1 = broadcast_join(with_w, uni, 'w1', 'token', ['n']) \
+        .map_batches(lambda b: _rename(b, {'n': 'n_a'}),
+                     batch_format='pyarrow')
+    j2 = broadcast_join(j1, uni, 'w2', 'token', ['n']) \
+        .map_batches(lambda b: _rename(b, {'n': 'n_b'}),
+                     batch_format='pyarrow')
+    return j2.map_batches(
+        lambda b: b.select(['bigram', 'n_ab', 'n_a', 'n_b']),
+        batch_format='pyarrow')
+
+
 def q_kg_degree_corr(sf_dir):
     """Degree-assortativity moments of the KG edge table: one row of
     integer sums (stages/graph.py:degree_correlation — node-degree
@@ -1491,6 +1592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_repetition': q_doc_repetition,
         'kg_degree_corr': q_kg_degree_corr,
         'multimodal_audio': q_multimodal_audio,
+        'unshipped_revenue': q_unshipped_revenue,
+        'collocations': q_collocations,
         # -- rotated out of the r4 window; last green r3 --
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
@@ -3048,6 +3151,44 @@ def _oracle_sql_dict() -> dict[str, str]:
                    CAST(COALESCE(p.n_distinct, 0) AS BIGINT)
                        AS n_distinct
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        'unshipped_revenue': """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(FLOOR(
+                       l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, o_orderdate, o_orderkey
+            LIMIT 10
+        """,
+        'collocations': r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+')) AS tok,
+                       GENERATE_SUBSCRIPTS(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(text)), '\s+'), 1) AS ord
+                FROM documents WHERE TRIM(text) <> ''
+            ), uni AS (
+                SELECT tok AS token, COUNT(*) AS n
+                FROM toks WHERE tok <> '' GROUP BY tok
+            ), bi AS (
+                SELECT a.tok || ' ' || b.tok AS bigram,
+                       a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+                GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+            )
+            SELECT bigram, n_ab, ua.n AS n_a, ub.n AS n_b
+            FROM bi
+            JOIN uni ua ON bi.w1 = ua.token
+            JOIN uni ub ON bi.w2 = ub.token
         """,
         'kg_degree_corr': f"""
             WITH {_triples_cte()}, edges AS (

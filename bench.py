@@ -171,6 +171,7 @@ SECONDARY_PICKS = [
     'orders_rollup', 'order_price_histogram', 'event_gaps',
     'user_event_pivot', 'bigram_counts', 'doc_repetition',
     'kg_degree_corr', 'multimodal_audio',
+    'unshipped_revenue', 'collocations',
 ]
 
 
