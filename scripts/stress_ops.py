@@ -193,13 +193,43 @@ def main():
         return {'docs': n_docs, 'hitters': hh.num_rows,
                 'per_sec_of': n_docs}
 
+    from yargy_ray.stages.graph import degree_correlation
+    from yargy_ray.stages.olap import pivot_counts
+    from yargy_ray.stages.text import bigram_counts
+    from yargy_ray.stages.windows import event_gaps
+
+    def op_event_gaps():
+        rows = event_gaps(events, num_partitions=128).count()
+        assert rows == n, rows
+        return {'events': n, 'per_sec_of': n}
+
+    def op_pivot():
+        rows = pivot_counts(events, 'user_id', 'event_type',
+                            ['click', 'view', 'purchase'],
+                            num_partitions=128).count()
+        return {'events': n, 'users': rows, 'per_sec_of': n}
+
+    def op_bigram():
+        rows = bigram_counts(sdocs).count()
+        return {'docs': n_docs, 'bigrams': rows,
+                'per_sec_of': n_docs * 11}   # 11 bigrams per 12-tok doc
+
+    def op_degree_corr():
+        row = degree_correlation(g, num_partitions=64).take_all()[0]
+        assert row['n_edges'] == m, row
+        return {'edges': m, 'per_sec_of': m}
+
     ops = [('asof_join', op_asof), ('hopping_window', op_hopping),
            ('connected_components', op_cc),
            ('co_mention_edges', op_comention),
            ('two_hop_counts', op_two_hop),
            ('doc_reconstruct_skew', op_doc_skew),
            ('pack_assignments', op_pack),
-           ('heavy_hitters', op_heavy)]
+           ('heavy_hitters', op_heavy),
+           ('event_gaps', op_event_gaps),
+           ('pivot_counts', op_pivot),
+           ('bigram_counts', op_bigram),
+           ('degree_correlation', op_degree_corr)]
 
     # ---- interleaved reps, best-of + raw ------------------------------
     raw = {name: [] for name, _ in ops}
