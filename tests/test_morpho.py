@@ -115,3 +115,21 @@ def test_reflexive_verb_paradigms(morph):
     form = next(f for f in morph('находился')
                 if f.normalized == 'находиться')
     assert form.inflect({'INFN'}) == 'находиться'
+
+
+def test_oov_guesser_verb_adverb_classes(morph):
+    """r5 guesser breadth (VERDICT r4 #3): held-out finite verbs,
+    -ой adjectives and -о adverbs get correct-POS readings; ambiguous
+    short suffixes keep the noun reading alongside."""
+    def pos_set(word):
+        return {g for f in morph(word) for g in f.grams.values
+                if g in {'NOUN', 'ADJF', 'VERB', 'INFN', 'ADVB'}}
+
+    assert 'VERB' in pos_set('показывает')     # present 3per
+    assert 'VERB' in pos_set('появился')       # reflexive past
+    assert 'VERB' in pos_set('остаётся')       # ё reflexive present
+    assert 'VERB' in pos_set('спросила')       # feminine past
+    assert pos_set('кларнет') >= {'VERB', 'NOUN'}  # ambiguous -ет
+    assert pos_set('молодой') >= {'ADJF', 'NOUN'}  # -ой adj/noun
+    assert 'ADVB' in pos_set('медленно')       # -о adverb reading
+    assert 'NOUN' in pos_set('олово')          # -о noun reading kept

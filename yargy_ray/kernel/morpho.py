@@ -40,6 +40,10 @@ _CYR = set('абвгдеёжзийклмнопрстуфхцчшщъыьэюя')
 _ADJ_ENDINGS = {
     'ый': ['ADJF masc sing nomn', 'ADJF masc sing accs'],
     'ий': ['ADJF masc sing nomn', 'ADJF masc sing accs'],
+    # stressed-ending hard adjectives share -ой with feminine oblique
+    # nouns (большой vs женой) — both readings
+    'ой': ['ADJF masc sing nomn', 'NOUN inan femn sing ablt',
+           'NOUN inan femn sing gent'],
     'ая': ['ADJF femn sing nomn'],
     'яя': ['ADJF femn sing nomn'],
     'ое': ['ADJF neut sing nomn', 'ADJF neut sing accs'],
@@ -59,6 +63,63 @@ _ADJ_ENDINGS = {
     'им': ['ADJF masc sing ablt', 'ADJF plur datv'],
 }
 
+# Finite-verb endings (checked before ADJ/NOUN, longest first). Short
+# suffixes that real nouns also carry (кабинет, институт, вокзал)
+# return BOTH readings — pymorphy2's predictor does the same; gram()
+# predicates see the union.
+_VERB_ENDINGS = {
+    # reflexive present, 3rd person
+    'ется': ['VERB sing 3per pres'], 'ится': ['VERB sing 3per pres'],
+    'ётся': ['VERB sing 3per pres'],
+    'ются': ['VERB plur 3per pres'], 'утся': ['VERB plur 3per pres'],
+    'атся': ['VERB plur 3per pres'], 'ятся': ['VERB plur 3per pres'],
+    # reflexive past
+    'ался': ['VERB masc sing past'], 'ился': ['VERB masc sing past'],
+    'елся': ['VERB masc sing past'], 'улся': ['VERB masc sing past'],
+    'ялся': ['VERB masc sing past'],
+    'лась': ['VERB femn sing past'], 'лось': ['VERB neut sing past'],
+    'лись': ['VERB plur past'],
+    # plain present, 3rd person (3-char thematic stems: unambiguous)
+    'ает': ['VERB sing 3per pres'], 'яет': ['VERB sing 3per pres'],
+    'ует': ['VERB sing 3per pres'], 'еет': ['VERB sing 3per pres'],
+    # plain past, feminine/plural/neuter (noun homographs exist: скала)
+    'ала': ['VERB femn sing past', 'NOUN inan femn sing nomn'],
+    'ила': ['VERB femn sing past', 'NOUN inan femn sing nomn'],
+    'ела': ['VERB femn sing past', 'NOUN inan femn sing nomn'],
+    'яла': ['VERB femn sing past', 'NOUN inan femn sing nomn'],
+    'ула': ['VERB femn sing past', 'NOUN inan femn sing nomn'],
+    'ыла': ['VERB femn sing past', 'NOUN inan femn sing nomn'],
+    'али': ['VERB plur past', 'NOUN inan plur nomn'],
+    'или': ['VERB plur past', 'NOUN inan plur nomn'],
+    'ели': ['VERB plur past', 'NOUN inan plur nomn'],
+    'яли': ['VERB plur past', 'NOUN inan plur nomn'],
+    'ули': ['VERB plur past', 'NOUN inan plur nomn'],
+    'ыли': ['VERB plur past', 'NOUN inan plur nomn'],
+    'ало': ['VERB neut sing past', 'NOUN inan neut sing nomn'],
+    'ило': ['VERB neut sing past', 'NOUN inan neut sing nomn'],
+    'ело': ['VERB neut sing past', 'NOUN inan neut sing nomn'],
+    'яло': ['VERB neut sing past', 'NOUN inan neut sing nomn'],
+    'уло': ['VERB neut sing past', 'NOUN inan neut sing nomn'],
+    'ыло': ['VERB neut sing past', 'NOUN inan neut sing nomn'],
+    # 2-char present (ё is verb-only; plain е/и/у/ю/а/я also end nouns)
+    'ёт': ['VERB sing 3per pres'],
+    'ет': ['VERB sing 3per pres', 'NOUN inan masc sing nomn',
+           'NOUN inan masc sing accs'],
+    'ит': ['VERB sing 3per pres', 'NOUN inan masc sing nomn',
+           'NOUN inan masc sing accs'],
+    'ут': ['VERB plur 3per pres', 'NOUN inan masc sing nomn'],
+    'ют': ['VERB plur 3per pres', 'NOUN inan masc sing nomn'],
+    'ат': ['VERB plur 3per pres', 'NOUN inan masc sing nomn'],
+    'ят': ['VERB plur 3per pres', 'NOUN inan masc sing nomn'],
+    # 2-char masculine past (вокзал/журнал are nouns)
+    'ал': ['VERB masc sing past', 'NOUN inan masc sing nomn'],
+    'ил': ['VERB masc sing past', 'NOUN inan masc sing nomn'],
+    'ел': ['VERB masc sing past', 'NOUN inan masc sing nomn'],
+    'ял': ['VERB masc sing past', 'NOUN inan masc sing nomn'],
+    'ул': ['VERB masc sing past', 'NOUN inan masc sing nomn'],
+    'ыл': ['VERB masc sing past', 'NOUN inan masc sing nomn'],
+}
+
 _NOUN_ENDINGS = {
     'ами': ['NOUN plur ablt'], 'ями': ['NOUN plur ablt'],
     'ах': ['NOUN plur loct'], 'ях': ['NOUN plur loct'],
@@ -75,7 +136,8 @@ _NOUN_ENDINGS = {
     'е': ['NOUN sing loct', 'NOUN sing datv'],
     'а': ['NOUN femn sing nomn', 'NOUN masc sing gent'],
     'я': ['NOUN femn sing nomn', 'NOUN masc sing gent'],
-    'о': ['NOUN inan neut sing nomn', 'NOUN inan neut sing accs'],
+    'о': ['NOUN inan neut sing nomn', 'NOUN inan neut sing accs',
+          'ADVB'],
     'ь': ['NOUN sing nomn', 'NOUN sing accs'],
 }
 
@@ -91,6 +153,10 @@ def guess_grams(word):
         return []
     if word.endswith('ться') or word.endswith('ть') or word.endswith('чь'):
         return [frozenset({'INFN', 'impf'})]
+    for size in (4, 3, 2):
+        suffix = word[-size:]
+        if suffix in _VERB_ENDINGS:
+            return [frozenset(g.split()) for g in _VERB_ENDINGS[suffix]]
     for size in (3, 2):
         suffix = word[-size:]
         if suffix in _ADJ_ENDINGS:
@@ -99,7 +165,8 @@ def guess_grams(word):
         suffix = word[-size:]
         if suffix in _NOUN_ENDINGS:
             return [frozenset(g.split() + ['inan'])
-                    if 'inan' not in g and 'anim' not in g
+                    if 'NOUN' in g.split()
+                    and 'inan' not in g and 'anim' not in g
                     else frozenset(g.split())
                     for g in _NOUN_ENDINGS[suffix]]
     return [frozenset({'NOUN', 'inan', 'sing', 'nomn'})]
