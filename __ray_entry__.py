@@ -1559,6 +1559,122 @@ def q_kg_degree_corr(sf_dir):
     return degree_correlation(q_kg_edges(sf_dir))
 
 
+def q_local_supplier_revenue(sf_dir):
+    """TPC-H-Q5-shaped composite: 1996 revenue from ASIA-region
+    customers whose lineitems were served by a supplier in the SAME
+    nation. Plan: the tiny region x nation dims resolve driver-side
+    into a key set pushed into the customer scan; orders (date-pruned)
+    x customers big-big hash join on custkey; lineitem joins the
+    result on orderkey (second big-big, both pre-projected to
+    key+cents); the 100-row supplier dim broadcasts its nationkey onto
+    the stream; the same-nation predicate filters; a 5-group reduce
+    plus a 25-row broadcast name lookup finish. Two exchanges total —
+    the join tree never ships a column it doesn't aggregate."""
+    from yargy_ray.stages.joins import broadcast_join, hash_join
+
+    lo = pa.scalar(np.datetime64('1996-01-01T00:00:00', 'us'),
+                   pa.timestamp('us'))
+    hi = pa.scalar(np.datetime64('1997-01-01T00:00:00', 'us'),
+                   pa.timestamp('us'))
+
+    asia_reg = {r['r_regionkey']
+                for r in _read(sf_dir, 'region').take_all()
+                if r['r_name'] == 'ASIA'}                  # 5-row dim
+    asia = pa.array(sorted(
+        n['n_nationkey'] for n in _read(sf_dir, 'nation').take_all()
+        if n['n_regionkey'] in asia_reg), pa.int64())      # 25-row dim
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        nkey = pc.cast(batch.column('c_nationkey'), pa.int64())
+        mask = pc.is_in(nkey, value_set=asia)
+        return pa.table({'o_custkey': batch.column('c_custkey'),
+                         'c_nationkey': nkey}).filter(mask)
+
+    cust = _read(sf_dir, 'customer').select_columns(
+        ['c_custkey', 'c_nationkey']).map_batches(
+        cust_prep, batch_format='pyarrow')
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column('o_orderdate'), lo),
+            pc.less(batch.column('o_orderdate'), hi))
+        return batch.filter(keep).select(['o_orderkey', 'o_custkey'])
+
+    orders = _read(sf_dir, 'orders').select_columns(
+        ['o_orderkey', 'o_custkey', 'o_orderdate']).map_batches(
+        orders_prep, batch_format='pyarrow')
+
+    o_n = hash_join(orders, cust, on='o_custkey').map_batches(
+        lambda b: pa.table({'l_orderkey': b.column('o_orderkey'),
+                            'c_nationkey': b.column('c_nationkey')}),
+        batch_format='pyarrow')
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            pc.cast(batch.column('l_extendedprice'), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column('l_discount'),
+                                     pa.float64())))
+        return pa.table({'l_orderkey': batch.column('l_orderkey'),
+                         'l_suppkey': batch.column('l_suppkey'),
+                         'revenue_cents': _cents(revenue)})
+
+    lineitem = _read(sf_dir, 'lineitem').select_columns(
+        ['l_orderkey', 'l_suppkey', 'l_extendedprice',
+         'l_discount']).map_batches(line_prep, batch_format='pyarrow')
+
+    j = hash_join(lineitem, o_n, on='l_orderkey')
+    supp = _read(sf_dir, 'supplier').map_batches(
+        lambda b: pa.table({'l_suppkey': b.column('s_suppkey'),
+                            's_nationkey': pc.cast(
+                                b.column('s_nationkey'), pa.int64())}),
+        batch_format='pyarrow')
+    j2 = broadcast_join(j, supp, 'l_suppkey', 'l_suppkey',
+                        ['s_nationkey'])
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column('c_nationkey'),
+                                      batch.column('s_nationkey')))
+        return pa.table({'n_nationkey': batch.column('c_nationkey'),
+                         'revenue_cents': batch.column('revenue_cents')})
+
+    agg = j2.map_batches(local_only, batch_format='pyarrow') \
+        .groupby('n_nationkey').sum('revenue_cents').map_batches(
+        lambda b: _rename(b, {'sum(revenue_cents)': 'revenue_cents'}),
+        batch_format='pyarrow')
+    nation = _read(sf_dir, 'nation').map_batches(
+        lambda b: pa.table({
+            'n_nationkey': pc.cast(b.column('n_nationkey'), pa.int64()),
+            'n_name': b.column('n_name')}),
+        batch_format='pyarrow')
+    named = broadcast_join(agg, nation, 'n_nationkey', 'n_nationkey',
+                           ['n_name'])
+    return named.map_batches(
+        lambda b: b.select(['n_name', 'revenue_cents']),
+        batch_format='pyarrow').sort(
+        ['revenue_cents', 'n_name'], descending=[True, False])
+
+
+#: Query-plan operator vocabulary for the BIO tagger demo — words that
+#: actually occur in the synthetic documents corpus.
+_TAG_VOCAB = ('table', 'scan', 'join', 'merge', 'sort', 'filter')
+
+
+def q_doc_tagged_phrases(sf_dir):
+    """Two-stage distributed tagger (SURVEY §2.10 as a pipeline stage):
+    stage 1 BIO-tags tokens (actor pool, tags travel as an aligned
+    ``list<string>`` column), stage 2 consumes the column through
+    ``tag()`` predicates — grammar ``B-OP I-OP*`` — and emits maximal
+    tagged runs. Reference semantics:
+    /root/reference/tests/test_tagger.py:23-34."""
+    from yargy_ray.stages.tagging import (bio_tag_tokens,
+                                          extract_tagged_phrases)
+    docs = _read(sf_dir, 'documents').select_columns(['doc_id', 'text'])
+    tagged = bio_tag_tokens(docs, vocab=_TAG_VOCAB, name='OP',
+                            concurrency=_pool())
+    return extract_tagged_phrases(tagged, name='OP',
+                                  concurrency=_pool())
+
+
 # ---------------------------------------------------------------------------
 # Driver surface
 # ---------------------------------------------------------------------------
@@ -1594,6 +1710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'multimodal_audio': q_multimodal_audio,
         'unshipped_revenue': q_unshipped_revenue,
         'collocations': q_collocations,
+        'doc_tagged_phrases': q_doc_tagged_phrases,
+        'local_supplier_revenue': q_local_supplier_revenue,
         # -- rotated out of the r4 window; last green r3 --
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
@@ -3112,6 +3230,35 @@ def _oracle_sql_dict() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'signup') AS n_signup,
                    COUNT(*) FILTER (event_type = 'view') AS n_view
             FROM events GROUP BY user_id
+        """,
+        'local_supplier_revenue': """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(
+                       l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        'doc_tagged_phrases': r"""
+            SELECT doc_id, phrase,
+                   CAST(LENGTH(phrase) - LENGTH(REPLACE(phrase, ' ', ''))
+                        + 1 AS BIGINT) AS n_tokens
+            FROM (
+                SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(text,
+                    '\b(?:table|scan|join|merge|sort|filter)'
+                    '(?: (?:table|scan|join|merge|sort|filter))*\b'))
+                    AS phrase
+                FROM documents
+            )
         """,
         'bigram_counts': r"""
             WITH toks AS (

@@ -172,6 +172,7 @@ SECONDARY_PICKS = [
     'user_event_pivot', 'bigram_counts', 'doc_repetition',
     'kg_degree_corr', 'multimodal_audio',
     'unshipped_revenue', 'collocations',
+    'doc_tagged_phrases', 'local_supplier_revenue',
 ]
 
 
