@@ -1553,3 +1553,73 @@ def test_multimodal_audio_fixture_matches():
     fix = pq.read_table(
         'tests/fixtures/multimodal_audio.parquet')
     assert got.sort_by('media_id').equals(fix.sort_by('media_id'))
+
+
+def test_ivf_threshold_rebuild(ray_session, tmp_path):
+    """VERDICT r4 #6: threshold-triggered retrain. Deltas accumulate
+    below the ratio with no action; crossing it rebuilds into a new
+    generation subtree (old files untouched until the manifest swap),
+    resets drift counters, and keeps the recall floor; later deltas
+    land under the new generation."""
+    import os
+
+    import ray.data
+
+    from yargy_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        maybe_rebuild_ivf,
+        merge_ivf_delta,
+        suggest_num_lists,
+    )
+
+    # sqrt(N) guideline
+    assert suggest_num_lists(200) == 16          # floor at sandbox scale
+    assert suggest_num_lists(1_000_000) == 1000  # grows with the corpus
+
+    rng = np.random.RandomState(17)
+    base_vecs = rng.randn(200, 16).astype(np.float32)
+    base = ray.data.from_items([
+        {'vec_id': i, 'embedding': base_vecs[i].tolist()}
+        for i in range(200)])
+    idx = str(tmp_path / 'ivf_rb')
+    build_ivf_index(base, idx, num_lists=8, input_key='rb-t')
+
+    def plant(start_id, vec_rows):
+        return ray.data.from_items([
+            {'vec_id': start_id + i, 'embedding': base_vecs[i].tolist()}
+            for i in range(vec_rows)])
+
+    merge_ivf_delta(idx, plant(1000, 30), delta_id='d1')
+    man, ran = maybe_rebuild_ivf(idx, rebuild_ratio=0.5)
+    assert not ran and man.get('generation', 0) == 0   # 30/200 < 0.5
+    merge_ivf_delta(idx, plant(2000, 80), delta_id='d2')
+
+    man, ran = maybe_rebuild_ivf(idx, rebuild_ratio=0.5, num_lists=8)
+    assert ran                                          # 110/200 >= 0.5
+    assert man['generation'] == 1 and man['root'] == 'gen-1'
+    assert man['applied_deltas'] == []
+    assert man['delta_rows_since_build'] == 0
+    assert man['rows_out'] == 310
+    # old generation left readable (no drop_old)
+    assert os.path.isdir(idx + '/lists')
+    assert os.path.isdir(idx + '/gen-1/lists')
+
+    # recall floor after rebuild: exhaustive probe finds the planted
+    # copies (cosine 1.0, vec_id-ascending tiebreak)
+    out = ivf_topk_indexed(idx, base_vecs[:5], k=3, nprobe=8)
+    got = {(r['query_id'], r['rank']): r['vec_id']
+           for r in out.to_pylist()}
+    for q in range(5):
+        assert got[(q, 0)] == q
+        assert got[(q, 1)] == 1000 + q
+        assert got[(q, 2)] == 2000 + q
+
+    # post-rebuild deltas land under the new generation and are seen
+    merge_ivf_delta(idx, plant(3000, 5), delta_id='d3')
+    assert os.path.isdir(idx + '/gen-1/deltas/d3')
+    out2 = ivf_topk_indexed(idx, base_vecs[:5], k=4, nprobe=8)
+    got2 = {(r['query_id'], r['rank']): r['vec_id']
+            for r in out2.to_pylist()}
+    for q in range(5):
+        assert got2[(q, 3)] == 3000 + q

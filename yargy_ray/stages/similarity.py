@@ -248,19 +248,20 @@ def ivf_topk_indexed(index_dir, queries, k=10, nprobe=4,
     from yargy_ray.state import storage
     from yargy_ray.state.manifests import load_manifest
 
+    manifest = load_manifest(index_dir) or {}
+    root_dir = _index_root(index_dir, manifest)
     cfs, cpath = storage.resolve(
-        storage.join(index_dir, 'centroids.parquet'))
+        storage.join(root_dir, 'centroids.parquet'))
     cent = pq.read_table(cpath, filesystem=cfs)
     centroids = _as_matrix(cent.column('centroid'))
     queries = _unit(np.asarray(queries, dtype=np.float32))
     probe_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
     wanted = sorted({int(li) for row in probe_lists for li in row})
-    manifest = load_manifest(index_dir) or {}
-    deltas = _delta_list_dirs(index_dir, manifest)
+    deltas = _delta_list_dirs(root_dir, manifest)
     files = []
     for li in wanted:
         files.extend(storage.parquet_files(
-            storage.join(index_dir, 'lists', f'ivf_list={li}')))
+            storage.join(root_dir, 'lists', f'ivf_list={li}')))
         for dli, child in deltas:
             if dli == li:
                 files.extend(storage.parquet_files(child))
@@ -311,7 +312,19 @@ def ivf_topk(emb_ds, queries, k=10, num_lists=16, nprobe=4,
             shutil.rmtree(index_dir, ignore_errors=True)
 
 
-def _delta_list_dirs(index_dir, manifest):
+def _index_root(index_dir, manifest):
+    """Resolve the CURRENT generation's subtree. Generation 0 (the
+    original build) lives directly under ``index_dir``; a rebuild
+    writes a complete new index under ``gen-<g>/`` and swaps the
+    manifest's ``root`` pointer atomically — readers holding the old
+    manifest keep reading the old (intact) files until they reload."""
+    from yargy_ray.state import storage
+
+    root = (manifest or {}).get('root')
+    return storage.join(index_dir, root) if root else index_dir
+
+
+def _delta_list_dirs(root_dir, manifest):
     """ivf_list=N dirs of every manifest-RECORDED delta (a crashed
     apply's partial files are invisible until its manifest entry
     lands, so queries never see half a delta)."""
@@ -319,7 +332,7 @@ def _delta_list_dirs(index_dir, manifest):
 
     out = []
     for did in manifest.get('applied_deltas', []):
-        ddir = storage.join(index_dir, 'deltas', did)
+        ddir = storage.join(root_dir, 'deltas', did)
         for name, child in sorted(storage.list_dirs(ddir).items()):
             if name.startswith('ivf_list='):
                 out.append((int(name.split('=', 1)[1]), child))
@@ -362,6 +375,7 @@ def merge_ivf_delta(index_dir, delta_ds, delta_id=None,
     manifest = load_manifest(index_dir)
     if manifest is None:
         raise ValueError(f'no IVF index manifest under {index_dir}')
+    root_dir = _index_root(index_dir, manifest)
     if delta_id is None:
         # content-derived id: count + vec_id range (cheap aggregates;
         # good enough to catch the accidental same-delta re-apply —
@@ -374,14 +388,14 @@ def merge_ivf_delta(index_dir, delta_ds, delta_id=None,
     if delta_id in applied:
         return manifest           # already absorbed: exact no-op
 
-    delta_dir = storage.join(index_dir, 'deltas', delta_id)
+    delta_dir = storage.join(root_dir, 'deltas', delta_id)
     if storage.exists(delta_dir):
         # partial files from a crashed previous attempt — wipe before
         # rewriting so a retry can't double-count
         storage.rmtree(delta_dir)
 
     cfs, cpath = storage.resolve(
-        storage.join(index_dir, 'centroids.parquet'))
+        storage.join(root_dir, 'centroids.parquet'))
     centroids = _as_matrix(
         pq.read_table(cpath, filesystem=cfs).column('centroid'))
     centroids_ref = ray.put(centroids)
@@ -396,12 +410,12 @@ def merge_ivf_delta(index_dir, delta_ds, delta_id=None,
     # point: before it, the delta is invisible; after it, complete)
     applied.append(delta_id)
     manifest['applied_deltas'] = applied
-    lists_dir = storage.join(index_dir, 'lists')
+    lists_dir = storage.join(root_dir, 'lists')
     rows_by_list = {
         int(name.split('=', 1)[1]): storage.dir_rows(child)
         for name, child in sorted(storage.list_dirs(lists_dir).items())
         if name.startswith('ivf_list=')}
-    for li, child in _delta_list_dirs(index_dir, manifest):
+    for li, child in _delta_list_dirs(root_dir, manifest):
         rows_by_list[li] = rows_by_list.get(li, 0) + \
             storage.dir_rows(child)
     parts = [{'partition_id': li, 'rows': r}
@@ -413,3 +427,122 @@ def merge_ivf_delta(index_dir, delta_ds, delta_id=None,
         manifest.get('delta_rows_since_build', 0) + delta_rows)
     storage.write_json_atomic(manifest_path(index_dir), manifest)
     return manifest
+
+
+def suggest_num_lists(n_rows, floor=16):
+    """lists ~= sqrt(N) guideline: keeps per-list size ~sqrt(N) so the
+    probed fraction (nprobe/num_lists) and the per-list scan both
+    shrink as the corpus grows. The sandbox default of 16 is the floor,
+    not a constant — at 1e12 vectors this returns 1e6 lists."""
+    import math
+    return max(floor, int(round(math.sqrt(max(n_rows, 1)))))
+
+
+def rebuild_ivf_index(index_dir, num_lists=None, sample=4096, iters=10,
+                      seed=3, concurrency=(1, 4), drop_old=False):
+    """Retrain + re-partition the ENTIRE index (base + all applied
+    deltas) into a new generation subtree ``gen-<g>/``, then swap the
+    manifest's ``root`` pointer atomically.
+
+    The old generation's files are never touched during the rebuild,
+    so concurrent :func:`ivf_topk_indexed` readers (who loaded the
+    pre-swap manifest) stay consistent; after the swap, new readers
+    see the fresh centroids with ``applied_deltas`` reset and
+    ``delta_rows_since_build`` back to 0. ``num_lists`` defaults to
+    the :func:`suggest_num_lists` sqrt(N) guideline at the CURRENT
+    corpus size — rebuilds grow the list count as the index grows.
+    Pass ``drop_old=True`` to reclaim the previous generation's files
+    once the swap has landed (skip it if long-running readers may
+    still hold the old manifest).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from yargy_ray.state import storage
+    from yargy_ray.state.manifests import load_manifest, manifest_path
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f'no IVF index manifest under {index_dir}')
+    old_root = _index_root(index_dir, manifest)
+
+    # every live vector: base lists + manifest-recorded deltas
+    files = []
+    for name, child in sorted(
+            storage.list_dirs(storage.join(old_root, 'lists')).items()):
+        if name.startswith('ivf_list='):
+            files.extend(storage.parquet_files(child))
+    for _, child in _delta_list_dirs(old_root, manifest):
+        files.extend(storage.parquet_files(child))
+    paths, fs = storage.for_ray(files)
+    emb_ds = ray.data.read_parquet(paths, filesystem=fs,
+                                   columns=['vec_id', 'embedding'])
+
+    if num_lists is None:
+        num_lists = suggest_num_lists(manifest['rows_out'])
+    generation = manifest.get('generation', 0) + 1
+    new_root = storage.join(index_dir, f'gen-{generation}')
+    if storage.exists(new_root):      # crashed previous rebuild attempt
+        storage.rmtree(new_root)
+    storage.makedirs(new_root)
+
+    centroids = train_centroids(emb_ds, num_lists, sample, iters, seed)
+    cfs, cpath = storage.resolve(
+        storage.join(new_root, 'centroids.parquet'))
+    pq.write_table(
+        pa.table({
+            'list_id': pa.array(np.arange(len(centroids)),
+                                type=pa.int64()),
+            'centroid': pa.array([c.tolist() for c in centroids],
+                                 type=pa.list_(pa.float32())),
+        }),
+        cpath, filesystem=cfs)
+    assigned = emb_ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs={'centroids_ref': ray.put(centroids)},
+        batch_format='pyarrow', concurrency=concurrency)
+    assigned.write_parquet(storage.join(new_root, 'lists'),
+                           partition_cols=['ivf_list'])
+
+    parts = [
+        {'partition_id': int(name.split('=', 1)[1]),
+         'rows': storage.dir_rows(child)}
+        for name, child in sorted(
+            storage.list_dirs(storage.join(new_root, 'lists')).items())
+        if name.startswith('ivf_list=')]
+    # ---- the swap: one atomic manifest write ----
+    manifest['generation'] = generation
+    manifest['root'] = f'gen-{generation}'
+    manifest['num_lists'] = int(num_lists)
+    manifest['applied_deltas'] = []
+    manifest['delta_rows_since_build'] = 0
+    manifest['partitions'] = parts
+    manifest['rows_out'] = sum(p['rows'] for p in parts)
+    storage.write_json_atomic(manifest_path(index_dir), manifest)
+
+    if drop_old:
+        if old_root == index_dir:     # generation 0 lives at top level
+            for leaf in ('lists', 'deltas'):
+                if storage.exists(storage.join(index_dir, leaf)):
+                    storage.rmtree(storage.join(index_dir, leaf))
+        else:
+            storage.rmtree(old_root)
+    return manifest
+
+
+def maybe_rebuild_ivf(index_dir, rebuild_ratio=0.5, **rebuild_kwargs):
+    """Threshold-triggered retrain policy: rebuild once accumulated
+    delta rows exceed ``rebuild_ratio`` of the base (frozen-centroid
+    assignment degrades recall as deltas dominate). Returns the
+    (possibly new) manifest and whether a rebuild ran."""
+    from yargy_ray.state.manifests import load_manifest
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f'no IVF index manifest under {index_dir}')
+    delta_rows = manifest.get('delta_rows_since_build', 0)
+    base_rows = manifest['rows_out'] - delta_rows
+    if delta_rows < rebuild_ratio * max(base_rows, 1):
+        return manifest, False
+    return rebuild_ivf_index(index_dir, **rebuild_kwargs), True
