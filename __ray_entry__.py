@@ -1654,6 +1654,72 @@ def q_local_supplier_revenue(sf_dir):
         ['revenue_cents', 'n_name'], descending=[True, False])
 
 
+def q_event_transitions(sf_dir):
+    """LEAD window op: (event_type -> next event_type) counts over each
+    user's timeline (stages/windows.py:event_transitions — one
+    user-keyed exchange, per-partition |types|^2 pre-aggregation, tiny
+    global sum)."""
+    from yargy_ray.stages.windows import event_transitions
+    return event_transitions(_read(sf_dir, 'events').select_columns(
+        ['event_id', 'user_id', 'ts', 'event_type']))
+
+
+def q_promo_revenue(sf_dir):
+    """TPC-H-Q14-shaped: promo vs total revenue for one ship-month.
+    First consumer of the ``part`` table; a big-big hash join on
+    l_partkey (a co-partitioning key no other query uses), both sides
+    pre-projected to key + the one value column each, then a
+    constant-key integer reduce (per-batch partials, 2-column driver
+    sum over P rows)."""
+    from yargy_ray.stages.joins import hash_join
+
+    lo = pa.scalar(np.datetime64('1996-09-01T00:00:00', 'us'),
+                   pa.timestamp('us'))
+    hi = pa.scalar(np.datetime64('1996-10-01T00:00:00', 'us'),
+                   pa.timestamp('us'))
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column('l_shipdate'), lo),
+                       pc.less(batch.column('l_shipdate'), hi))
+        batch = batch.filter(keep)
+        revenue = pc.multiply(
+            pc.cast(batch.column('l_extendedprice'), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column('l_discount'),
+                                     pa.float64())))
+        return pa.table({'l_partkey': batch.column('l_partkey'),
+                         'revenue_cents': _cents(revenue)})
+
+    line = _read(sf_dir, 'lineitem').select_columns(
+        ['l_partkey', 'l_shipdate', 'l_extendedprice',
+         'l_discount']).map_batches(line_prep, batch_format='pyarrow')
+    part = _read(sf_dir, 'part').select_columns(
+        ['p_partkey', 'p_type']).map_batches(
+        lambda b: _rename(b, {'p_partkey': 'l_partkey'}),
+        batch_format='pyarrow')
+    j = hash_join(line, part, on='l_partkey')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = batch.column('revenue_cents')
+        promo = pc.if_else(
+            pc.equal(batch.column('p_type'), 'PROMO'), cents,
+            pa.scalar(0, pa.int64()))
+        return pa.table({
+            'promo_cents': pa.array(
+                [pc.sum(promo).as_py() or 0], pa.int64()),
+            'total_cents': pa.array(
+                [pc.sum(cents).as_py() or 0], pa.int64()),
+        })
+
+    tot = j.map_batches(partial, batch_format='pyarrow') \
+        .sum(['promo_cents', 'total_cents'])    # P partial rows
+    return pa.table({
+        'promo_cents': pa.array([int(tot['sum(promo_cents)'])],
+                                pa.int64()),
+        'total_cents': pa.array([int(tot['sum(total_cents)'])],
+                                pa.int64()),
+    })
+
+
 #: Query-plan operator vocabulary for the BIO tagger demo — words that
 #: actually occur in the synthetic documents corpus.
 _TAG_VOCAB = ('table', 'scan', 'join', 'merge', 'sort', 'filter')
@@ -1712,6 +1778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'collocations': q_collocations,
         'doc_tagged_phrases': q_doc_tagged_phrases,
         'local_supplier_revenue': q_local_supplier_revenue,
+        'promo_revenue': q_promo_revenue,
+        'event_transitions': q_event_transitions,
         # -- rotated out of the r4 window; last green r3 --
         'kg_comention': q_kg_comention,
         'kg_two_hop': q_kg_two_hop,
@@ -3230,6 +3298,30 @@ def _oracle_sql_dict() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'signup') AS n_signup,
                    COUNT(*) FILTER (event_type = 'view') AS n_view
             FROM events GROUP BY user_id
+        """,
+        'event_transitions': """
+            WITH nxt AS (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM nxt WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
+        'promo_revenue': """
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate <  TIMESTAMP '1996-10-01'
         """,
         'local_supplier_revenue': """
             SELECT n_name,

@@ -173,6 +173,7 @@ SECONDARY_PICKS = [
     'kg_degree_corr', 'multimodal_audio',
     'unshipped_revenue', 'collocations',
     'doc_tagged_phrases', 'local_supplier_revenue',
+    'promo_revenue', 'event_transitions',
 ]
 
 

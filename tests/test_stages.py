@@ -1623,3 +1623,28 @@ def test_ivf_threshold_rebuild(ray_session, tmp_path):
             for r in out2.to_pylist()}
     for q in range(5):
         assert got2[(q, 3)] == 3000 + q
+
+
+def test_event_transitions(ray_session):
+    """LEAD pairs: per-user adjacency in (ts, event_id) order; no
+    cross-user pair; counts summed globally."""
+    import ray.data
+
+    from yargy_ray.stages.windows import event_transitions
+
+    base = np.datetime64('2024-01-01T00:00:00', 'us')
+    rows = [
+        # user 1: a -> b -> b
+        {'event_id': 1, 'user_id': 1, 'ts': base, 'event_type': 'a'},
+        {'event_id': 2, 'user_id': 1, 'ts': base + 10, 'event_type': 'b'},
+        {'event_id': 3, 'user_id': 1, 'ts': base + 20, 'event_type': 'b'},
+        # user 2: b -> a ; equal timestamps tiebreak on event_id
+        {'event_id': 5, 'user_id': 2, 'ts': base + 5, 'event_type': 'a'},
+        {'event_id': 4, 'user_id': 2, 'ts': base + 5, 'event_type': 'b'},
+        # user 3: single event -> no pair
+        {'event_id': 6, 'user_id': 3, 'ts': base, 'event_type': 'a'},
+    ]
+    out = event_transitions(ray.data.from_items(rows),
+                            num_partitions=4).take_all()
+    got = {(r['from_type'], r['to_type']): r['n'] for r in out}
+    assert got == {('a', 'b'): 1, ('b', 'b'): 1, ('b', 'a'): 1}

@@ -226,6 +226,57 @@ def funnel_stages(events_ds, stages=('click', 'view', 'purchase'),
         'user_id', reduce_fn, num_partitions, coalesce='auto')
 
 
+def event_transitions(events_ds, num_partitions=64):
+    """(event_type -> next event_type) transition counts per user
+    timeline (SQL LEAD): the Markov-matrix shape session-model and
+    funnel-drop analyses start from.
+
+    Same single user-keyed exchange as :func:`event_gaps`; each
+    partition lexsorts once, pairs adjacent same-user rows, and
+    pre-aggregates to at most |types|^2 rows — the final global
+    groupby sums P tiny partials, so the second exchange carries
+    O(P * |types|^2) rows regardless of corpus size.
+    """
+    from yargy_ray.stages.exchange import partitioned_reduce
+
+    empty = pa.table({
+        'from_type': pa.array([], type=pa.string()),
+        'to_type': pa.array([], type=pa.string()),
+        'n': pa.array([], type=pa.int64()),
+    })
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n < 2:
+            return empty
+        user = pc.cast(part.column('user_id'), pa.int64()).to_numpy()
+        ts = (part.column('ts').cast(pa.timestamp('us'))
+              .to_numpy().astype('int64'))
+        eid = pc.cast(part.column('event_id'), pa.int64()).to_numpy()
+        et = part.column('event_type').to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user, et = user[order], et[order]
+        same = user[1:] == user[:-1]
+        if not same.any():
+            return empty
+        pairs = pa.table({
+            'from_type': pa.array(et[:-1][same], type=pa.string()),
+            'to_type': pa.array(et[1:][same], type=pa.string()),
+        })
+        return pa.TableGroupBy(pairs, ['from_type', 'to_type']) \
+            .aggregate([([], 'count_all')]) \
+            .rename_columns(['from_type', 'to_type', 'n'])
+
+    partials = partitioned_reduce(
+        events_ds.select_columns(
+            ['event_id', 'user_id', 'ts', 'event_type']),
+        'user_id', reduce_fn, num_partitions, coalesce='auto')
+    agg = partials.groupby(['from_type', 'to_type']).sum('n')
+    return agg.map_batches(
+        lambda b: b.rename_columns(['from_type', 'to_type', 'n']),
+        batch_format='pyarrow')
+
+
 def event_gaps(events_ds, num_partitions=64):
     """Per-event gap to the same user's PREVIOUS event (SQL LAG):
     ``gap_us`` = microseconds since the prior event in (ts, event_id)
