@@ -1803,14 +1803,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'emb_topk_ivf': q_emb_topk_ivf,
         'emb_near_dups_exact': q_emb_near_dups_exact,
         'emb_near_dups': q_emb_near_dups,
-        # -- driver-green twice --
-        'cust_no_urgent': q_cust_no_urgent,
-        'latest_user_event': q_latest_user_event,
-        'cust_urgent_semi': q_cust_urgent_semi,
-        'cust_totals_left': q_cust_totals_left,
-        'kg_address': q_kg_address,
-        'kg_edges': q_kg_edges,
-        'kg_incremental': q_kg_incremental,
         # -- flagship + perf-watch (keep continuously verified) --
         'kg_triples': q_kg_triples,
         'kg_nodes': q_kg_nodes,
@@ -1819,7 +1811,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dup_components': q_dup_components,
         'ngram_pairs': q_ngram_pairs,
         'doc_dup_groups': q_doc_dup_groups,
-        # ---- window cutoff backfill: 3-4x-green veterans ----
+        # ---- window cutoff backfill: 2-4x-green veterans ----
+        'cust_no_urgent': q_cust_no_urgent,
+        'latest_user_event': q_latest_user_event,
+        'cust_urgent_semi': q_cust_urgent_semi,
+        'cust_totals_left': q_cust_totals_left,
+        'kg_address': q_kg_address,
+        'kg_edges': q_kg_edges,
+        'kg_incremental': q_kg_incremental,
         'lineitem_agg': q_lineitem_agg,
         'filter_project': q_filter_project,
         'topk_orders': q_topk_orders,
