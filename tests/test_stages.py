@@ -833,8 +833,10 @@ def test_triangle_counts(ray_session):
 
 
 def test_triangle_counts_wedge_cap(ray_session):
-    """A fan hub (hub-x_i edges + x_i-x_{i+1} chain) trimmed to
-    max_wedge_degree bounds wedge work; the capped node is reported."""
+    """Degree-ordered orientation: a fan hub stays EXACT under a tiny
+    wedge cap (the hub is the max-rank corner, so it never generates
+    wedges); a clique (all degrees tied) still trims deterministically
+    and reports the capped nodes."""
     import ray.data
 
     from yargy_ray.stages.graph import (
@@ -842,25 +844,42 @@ def test_triangle_counts_wedge_cap(ray_session):
         triangle_counts,
     )
 
+    # fan hub + chain: triangles (a, x_i, x_{i+1}) generate at the
+    # LOW-degree chain corners under degree ordering -> cap=5 is exact
     n = 20
     xs = [f'x{i:02d}' for i in range(n)]
-    edges = pa.table({
+    fan = pa.table({
         'src': ['a'] * n + xs[:-1],
         'dst': xs + xs[1:],
     })
-    full = triangle_counts(ray.data.from_arrow(edges),
+    full = triangle_counts(ray.data.from_arrow(fan),
                            num_partitions=4).to_pandas()
     assert full[full.node_id == 'a'].triangles.tolist() == [n - 1]
-
-    capped = triangle_counts(ray.data.from_arrow(edges),
+    capped = triangle_counts(ray.data.from_arrow(fan),
                              num_partitions=4, max_wedge_degree=5,
                              include_capped_stat=True).to_pandas()
-    stat = capped[capped.node_id == CAPPED_WEDGE_STAT_ID]
-    assert stat.triangles.tolist() == [1]          # 'a' was capped
-    # counts are lower bounds under a cap: only wedges among the first
-    # 5 of a's neighbors survive -> 4 chain triangles through 'a'
-    a_row = capped[capped.node_id == 'a']
-    assert a_row.triangles.tolist() == [4]
+    assert CAPPED_WEDGE_STAT_ID not in set(capped.node_id)
+    assert capped[capped.node_id == 'a'].triangles.tolist() == [n - 1]
+
+    # K8 clique: ranks tie-break by id; v0/v1 (out-degree 7/6 > cap)
+    # trim to their first 5 higher-rank neighbors, v2 (exactly 5) is
+    # complete. Surviving wedges all close: 10+10+10+6+3+1 = 40 of 56
+    # triangles, so the per-corner count sum is 120 (lower bound vs 168)
+    vs = [f'v{i}' for i in range(8)]
+    clique = pa.table({
+        'src': [vs[i] for i in range(8) for j in range(i + 1, 8)],
+        'dst': [vs[j] for i in range(8) for j in range(i + 1, 8)],
+    })
+    exact = triangle_counts(ray.data.from_arrow(clique),
+                            num_partitions=4).to_pandas()
+    assert sorted(exact.triangles) == [21] * 8
+    trimmed = triangle_counts(ray.data.from_arrow(clique),
+                              num_partitions=4, max_wedge_degree=5,
+                              include_capped_stat=True).to_pandas()
+    stat = trimmed[trimmed.node_id == CAPPED_WEDGE_STAT_ID]
+    assert stat.triangles.tolist() == [2]
+    rest = trimmed[trimmed.node_id != CAPPED_WEDGE_STAT_ID]
+    assert rest.triangles.sum() == 120
 
 
 def test_funnel_stages(ray_session):

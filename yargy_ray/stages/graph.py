@@ -247,31 +247,92 @@ def triangle_counts(edges_ds, a='src', b='dst', num_partitions=64,
     close join's edge side) — materialize it upstream when it is the
     output of an expensive pipeline.
 
+    Orientation is DEGREE-ORDERED (each edge points from its
+    lower-(degree, id) endpoint to the higher; wedges generate at the
+    minimum-rank corner): the classic O(m^1.5) bound — per-node
+    out-degree is O(sqrt(m)) regardless of raw degree, so dense/hub
+    graphs no longer materialize C(degree, 2) wedges in one partition
+    (the sf1 stress OOMed exactly there under id-ordering: every node
+    of a dense co-mention graph hit the 4096 cap -> 8.4M wedges
+    EACH). Output is orientation-invariant — each triangle is still
+    counted exactly once per corner. Ranks come from one cheap degree
+    exchange and broadcast as two parallel arrays; at node counts
+    beyond driver memory, swap the broadcast for a rank hash_join onto
+    both endpoints (same semantics — documented small-side contract,
+    like broadcast_join).
+
     ``max_wedge_degree`` bounds the C(k, 2) wedge blowup per node
-    (deterministic first-k higher neighbors in sort order). Counts
-    involving a capped node are LOWER bounds; capped nodes are counted
-    and surfaced as a ``(node_id='__capped_wedges__', triangles=N)``
-    row when ``include_capped_stat=True``.
+    (deterministic first-k by rank order) as a residual safety net.
+    Counts involving a capped node are LOWER bounds; capped nodes are
+    counted and surfaced as a ``(node_id='__capped_wedges__',
+    triangles=N)`` row when ``include_capped_stat=True``.
     """
     import pandas as pd
+    import ray
 
     from yargy_ray.pipelines.kg import _hash64
     from yargy_ray.stages.exchange import partitioned_reduce
 
-    def orient(batch: pa.Table) -> pa.Table:
-        """Canonical lo < hi orientation in node-id space."""
+    # ---- degree ranks: one exchange over edge endpoints -------------
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
         x, y = batch.column(a), batch.column(b)
-        lt = pc.less(x, y)
+        nodes = pa.concat_arrays([pc.cast(x, pa.string()).combine_chunks(),
+                                  pc.cast(y, pa.string()).combine_chunks()])
+        t = pa.TableGroupBy(pa.table({'node': nodes}), 'node') \
+            .aggregate([([], 'count_all')]) \
+            .rename_columns(['node', 'n'])
+        return t.append_column('dkey', _hash64(t.column('node')))
+
+    def degree_fn(table: pa.Table) -> pa.Table:
+        df = table.select(['node', 'n']).to_pandas()
+        agg = df.groupby('node', sort=False, as_index=False)['n'].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    deg_parts = partitioned_reduce(
+        edges_ds.map_batches(endpoint_counts, batch_format='pyarrow'),
+        'dkey', degree_fn, num_partitions, coalesce='auto')
+    deg_batches = [pa.table({'node': b['node'], 'n': b['n']})
+                   for b in deg_parts.iter_batches(batch_format='pyarrow')]
+    if deg_batches:
+        deg_tbl = pa.concat_tables(deg_batches,
+                                   promote_options='default')
+        node_arr = deg_tbl.column('node').to_numpy(zero_copy_only=False)
+        n_arr = deg_tbl.column('n').to_numpy(zero_copy_only=False)
+    else:
+        node_arr = np.array([], dtype=object)
+        n_arr = np.array([], dtype=np.int64)
+    sort_nodes = np.argsort(node_arr, kind='mergesort')
+    nodes_sorted = node_arr[sort_nodes]
+    # rank = position in (degree, node_id) lexicographic order
+    rank_of_sorted = np.empty(len(nodes_sorted), dtype=np.int64)
+    order = np.lexsort((nodes_sorted, n_arr[sort_nodes]))
+    rank_of_sorted[order] = np.arange(len(order))
+    ranks_ref = ray.put((nodes_sorted.astype(str), rank_of_sorted))
+
+    def _rank(col, nodes_idx, ranks):
+        s = col.to_numpy(zero_copy_only=False).astype(str)
+        return ranks[np.searchsorted(nodes_idx, s)]
+
+    def orient(batch: pa.Table) -> pa.Table:
+        """Canonical (degree, id)-rank orientation: a -> b uphill."""
+        nodes_idx, ranks = ray.get(ranks_ref)
+        x, y = batch.column(a), batch.column(b)
+        lt = pa.array(_rank(x, nodes_idx, ranks)
+                      < _rank(y, nodes_idx, ranks))
         return pa.table({'a': pc.if_else(lt, x, y),
                          'b': pc.if_else(lt, y, x)})
 
     def keyed_edges(batch: pa.Table) -> pa.Table:
+        nodes_idx, ranks = ray.get(ranks_ref)
         t = orient(batch)
+        t = t.append_column(
+            'rank_b', pa.array(_rank(t.column('b'), nodes_idx, ranks)))
         return t.append_column('wkey', _hash64(t.column('a')))
 
     def wedges_fn(table: pa.Table) -> pa.Table:
-        df = table.select(['a', 'b']).to_pandas().drop_duplicates()
-        df = df.sort_values(['a', 'b'], kind='mergesort')
+        df = table.select(['a', 'b', 'rank_b']).to_pandas() \
+            .drop_duplicates(['a', 'b'])
+        df = df.sort_values(['a', 'rank_b'], kind='mergesort')
         nth = df.groupby('a', sort=False).cumcount().to_numpy()
         over = pd.unique(df['a'].to_numpy()[nth >= max_wedge_degree])
         df = df[nth < max_wedge_degree]
@@ -286,7 +347,7 @@ def triangle_counts(edges_ds, a='src', b='dst', num_partitions=64,
             if k < 2:
                 continue
             i, j = np.triu_indices(k, 1)
-            nb = arr_b[start:stop]          # ascending -> x < y holds
+            nb = arr_b[start:stop]   # rank-ascending -> rank x < rank y
             xs.append(nb[i])
             ys.append(nb[j])
             ws.append(np.repeat(arr_a[start], len(i)))
