@@ -970,10 +970,19 @@ def test_round4_operators_empty_inputs(ray_session):
     from yargy_ray.stages.text import doc_top_terms
     from yargy_ray.stages.windows import funnel_stages
 
+    from yargy_ray.stages.windows import event_transitions
+
     empty_edges = ray.data.from_arrow(pa.table({
         'src': pa.array([], pa.string()),
         'dst': pa.array([], pa.string())}))
     assert triangle_counts(empty_edges, num_partitions=2).count() == 0
+
+    empty_events = ray.data.from_arrow(pa.table({
+        'event_id': pa.array([], pa.int64()),
+        'user_id': pa.array([], pa.int64()),
+        'ts': pa.array([], pa.timestamp('us')),
+        'event_type': pa.array([], pa.string())}))
+    assert event_transitions(empty_events, num_partitions=2).count() == 0
 
     empty_triples = ray.data.from_arrow(pa.table({
         'conv_id': pa.array([], pa.string()),
